@@ -1,0 +1,269 @@
+"""End-to-end TPU codec engine: batched encode/decode of whole files.
+
+Where the reference iterates 2048-sample blocks serially through Python
+(reference codec/pacfile.py:475-495), this engine frames the entire file
+into a `[B, 2, 2048]` batch and runs analysis -> psychoacoustics ->
+allocation -> quantization -> Huffman selection as ONE jitted device
+computation; only the bit-serial payload serialization crosses to the host
+(native C++, pactpu/native.py).
+
+Rate-control modes (the reference's sequential bit reservoir couples block
+t to t+1, codec/Huffman.py:353-371, codec/codec.py:229):
+
+- "cbr":       every block allocates from the flat per-block budget
+               (extraBits = 0); fully parallel, single pass.
+- "reservoir": two parallel passes.  Pass 1 measures per-channel Huffman
+               savings and allocation leftovers with extraBits = 0; a cheap
+               host scan then replays the reference reservoir policy
+               (deposit savings, withdraw 1%/block, carry allocation
+               leftovers) to assign per-block extra bits; pass 2 re-encodes
+               with those extras.  This reproduces the reference's VBR
+               behavior to second order while keeping every device op
+               batch-parallel.
+
+In both modes channel 0's allocation leftover funds channel 1 within the
+same block, as in the reference (codec/codec.py:258-260).
+
+Block counts are padded to the next power-of-two bucket so jit caches stay
+small across files of different lengths.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pactpu import native
+from pactpu.codec import wav
+from pactpu.ops import bitalloc as ba_ops
+from pactpu.ops import huffman as huff_ops
+from pactpu.ops import psycho
+from pactpu.ops import quantize as q_ops
+from pactpu.ops.mdct import mdct, imdct
+from pactpu.ops.windows import sine_window
+from pactpu.utils.config import CodecConfig
+from pactpu.compat import refcodec as rc
+
+
+def frame_blocks(x: jax.Array, half: int, n_blocks: int) -> jax.Array:
+    """[C, n] -> [B, C, 2*half] 50%-overlap frames, including the leading
+    zero priorBlock and the trailing zero flush block (reference
+    codec/pacfile.py:264-282, 355-366). B = n_blocks + 1."""
+    c = x.shape[0]
+    pad_to = (n_blocks + 1) * half
+    y = jnp.pad(x, ((0, 0), (half, pad_to - x.shape[1])))
+    idx = jnp.arange(n_blocks + 1)[:, None] * half + jnp.arange(2 * half)
+    return jnp.take(y, idx, axis=1).transpose(1, 0, 2)
+
+
+@lru_cache(maxsize=16)
+def _encode_fn(cfg: CodecConfig, two_channel_chain: bool = True):
+    layout = cfg.band_layout
+    half = cfg.n_mdct_lines
+    n = 2 * half
+    fs = cfg.sample_rate
+    n_lines = np.asarray(layout.n_lines, np.int32)
+    seg = np.asarray(layout.line_to_band)
+    max_mant = min(1 << cfg.n_mant_size_bits, cfg.max_mant_bits)
+    budget = float(cfg.bit_budget())
+    sine = np.asarray(sine_window(n), np.float32)
+
+    @jax.jit
+    def run(frames: jax.Array, extra0: jax.Array):
+        b = frames.shape[0]
+        sw = frames * sine[None, None, :]
+        lines = mdct(sw)
+        overall = q_ops.scale_factor(
+            jnp.max(jnp.abs(lines), axis=-1), cfg.n_scale_bits, 5)
+        scaled = lines * jnp.exp2(overall[..., None].astype(lines.dtype))
+
+        lrms = psycho.lrms_decision(frames, layout, cfg.ms_decision_factor)
+        smr, mixed = psycho.stereo_smrs(sw, scaled, overall, lrms, fs,
+                                        layout)
+
+        total0 = (jnp.float32(budget) + extra0.astype(jnp.float32)
+                  ).astype(jnp.int32)
+        bits0, left0 = ba_ops.water_fill(
+            total0, max_mant, n_lines, smr[:, 0], lrms,
+            cfg.ms_stop_threshold_db, cfg.lr_stop_threshold_db)
+        extra1 = left0.astype(jnp.float32) if two_channel_chain else (
+            extra0.astype(jnp.float32))
+        total1 = (jnp.float32(budget) + extra1).astype(jnp.int32)
+        bits1, left1 = ba_ops.water_fill(
+            total1, max_mant, n_lines, smr[:, 1], lrms,
+            cfg.ms_stop_threshold_db, cfg.lr_stop_threshold_db)
+        bits = jnp.stack([bits0, bits1], axis=1)          # [B, 2, bands]
+
+        peak = psycho.band_max(jnp.abs(mixed), layout, fill=0.0)
+        sf = q_ops.scale_factor(peak, cfg.n_scale_bits, bits)
+        sf_l = sf[..., seg]
+        nm_l = bits[..., seg]
+        mant = q_ops.bfp_mantissa(mixed, sf_l, cfg.n_scale_bits, nm_l)
+        sign, unsigned = huff_ops.split_sign(mant, nm_l)
+        transmit = nm_l > 0
+
+        tid, codes, lens, huff_bits = huff_ops.encode_select(
+            unsigned.reshape(b * 2, half), nm_l.reshape(b * 2, half),
+            transmit.reshape(b * 2, half))
+
+        raw_bits = jnp.sum(bits * n_lines[None, None, :], axis=-1)
+        n_signs = jnp.sum(transmit, axis=-1)
+        used = (huff_bits.reshape(b, 2) + n_signs + cfg.n_table_id_bits)
+        savings = raw_bits - used
+
+        return dict(
+            overall=overall, lrms=lrms, bits=bits, sf=sf,
+            sign=jnp.where(transmit, sign, 0),
+            codes=codes.reshape(b, 2, half), lens=lens.reshape(b, 2, half),
+            tid=tid.reshape(b, 2), savings=savings, leftover=left1)
+
+    return run
+
+
+@lru_cache(maxsize=16)
+def _decode_fn(cfg: CodecConfig):
+    layout = cfg.band_layout
+    half = cfg.n_mdct_lines
+    seg = np.asarray(layout.line_to_band)
+    sine = np.asarray(sine_window(2 * half), np.float32)
+
+    @jax.jit
+    def run(ba: jax.Array, sf: jax.Array, mant: jax.Array,
+            overall: jax.Array, lrms: jax.Array):
+        """ba/sf: i32[B, 2, bands]; mant: i32[B, 2, half];
+        overall: i32[B, 2]; lrms: bool[B, bands].
+        Returns pre-overlap time samples f32[B, 2, 2*half]."""
+        sf_l = sf[..., seg]
+        nm_l = ba[..., seg]
+        vals = q_ops.bfp_dequantize(sf_l, mant, cfg.n_scale_bits, nm_l)
+        vals = vals * jnp.exp2(-overall[..., None].astype(vals.dtype))
+
+        # Q1 aliasing: the reference decoder emits L' = M - S, R' = M
+        # (reference codec/codec.py:46-56)
+        line_ms = lrms[:, seg]
+        m, s = vals[:, 0], vals[:, 1]
+        out0 = jnp.where(line_ms, m - s, m)
+        out1 = jnp.where(line_ms, m, s)
+        lines = jnp.stack([out0, out1], axis=1)
+        return imdct(lines) * sine[None, None, :]
+
+    return run
+
+
+def _pad_blocks(b: int) -> int:
+    """Bucket the block count so jit specializations are reused: next
+    power of two (min 16)."""
+    n = 16
+    while n < b:
+        n <<= 1
+    return n
+
+
+def _reservoir_extras(savings: np.ndarray, leftover: np.ndarray,
+                      divisor: int) -> np.ndarray:
+    """Host replay of the reference reservoir policy over per-block pass-1
+    measurements: deposit per-channel savings, withdraw 1/divisor per block
+    (reference codec/Huffman.py:353-371), carry allocation leftovers
+    (codec/codec.py:229,258-260).  Returns extraBits for channel 0 of each
+    block."""
+    b = savings.shape[0]
+    extras = np.zeros(b, np.int64)
+    deposit = 0
+    extra = 0
+    for t in range(b):
+        if deposit > 10:
+            w = deposit // divisor
+            deposit -= w
+            extra += w
+        elif deposit < 0:
+            extra += deposit
+            deposit = 0
+        extras[t] = extra
+        deposit += int(savings[t, 0]) + int(savings[t, 1])
+        extra = int(leftover[t])
+    return extras
+
+
+class Engine:
+    """File-level encoder/decoder around the jitted block engine."""
+
+    def __init__(self, cfg: Optional[CodecConfig] = None,
+                 rate_mode: str = "reservoir"):
+        self.cfg = cfg or CodecConfig()
+        if rate_mode not in ("cbr", "reservoir"):
+            raise ValueError(f"unknown rate mode {rate_mode!r}")
+        self.rate_mode = rate_mode
+
+    # -- encode ----------------------------------------------------------
+
+    def encode_arrays(self, pcm: np.ndarray):
+        """pcm: int16 [n, 2] -> (device outputs dict, n_blocks)."""
+        cfg = self.cfg
+        half = cfg.n_mdct_lines
+        n = pcm.shape[0]
+        n_blocks = -(-n // half)
+        b = n_blocks + 1                      # + flush block
+        b_pad = _pad_blocks(b)
+
+        x = q_ops.pcm16_to_float(jnp.asarray(pcm.T))
+        frames = frame_blocks(x, half, b_pad - 1)
+        run = _encode_fn(cfg)
+
+        extra0 = jnp.zeros(b_pad, jnp.float32)
+        out = run(frames, extra0)
+        if self.rate_mode == "reservoir":
+            savings = np.asarray(out["savings"])[:b]
+            leftover = np.asarray(out["leftover"])[:b]
+            extras = np.zeros(b_pad, np.float32)
+            extras[:b] = _reservoir_extras(
+                savings, leftover, cfg.reservoir_withdraw_divisor)
+            out = run(frames, jnp.asarray(extras))
+        return out, b
+
+    def encode(self, pcm: np.ndarray) -> bytes:
+        """pcm: int16 [n, 2] -> complete .wak/.pac byte stream."""
+        cfg = self.cfg
+        out, b = self.encode_arrays(pcm)
+        header, _ = rc.write_header(cfg, pcm.shape[0])
+
+        h = lambda k: np.asarray(out[k])[:b]  # noqa: E731
+        r2 = lambda a: a.reshape(2 * b, *a.shape[2:])  # noqa: E731
+        payload = native.pack_file(
+            np.asarray(cfg.band_layout.n_lines, np.int32),
+            cfg.n_scale_bits, cfg.n_mant_size_bits, cfg.n_table_id_bits,
+            r2(h("overall")), r2(h("tid")), r2(h("bits")), r2(h("sf")),
+            r2(h("sign")), r2(h("codes")), r2(h("lens")),
+            h("lrms").astype(np.int32))
+        return header + payload
+
+    # -- decode ----------------------------------------------------------
+
+    def decode(self, data: bytes) -> tuple[int, np.ndarray]:
+        """Full stream -> (sample_rate, int16 [n, 2]), reproducing the
+        reference driver's first-block skip and final overlap-add flush
+        (reference codec/pacfile.py:484-487, 171-178)."""
+        cfg, _num_samples, off = rc.read_header(data)
+        half = cfg.n_mdct_lines
+        parsed = native.unpack_file(
+            data[off:], np.asarray(cfg.band_layout.n_lines, np.int32),
+            cfg.n_scale_bits, cfg.n_mant_size_bits, cfg.n_table_id_bits)
+        b = parsed["n_cblocks"] // 2
+
+        def d2(a):
+            return a.reshape(b, 2, *a.shape[1:])
+
+        run = _decode_fn(cfg)
+        td = run(jnp.asarray(d2(parsed["ba"])), jnp.asarray(d2(parsed["sf"])),
+                 jnp.asarray(d2(parsed["mant"])),
+                 jnp.asarray(d2(parsed["overall"])),
+                 jnp.asarray(parsed["lrms"] != 0))
+        first, second = td[:, :, :half], td[:, :, half:]
+        chunks = jnp.concatenate(
+            [second[:-1] + first[1:], second[-1:]], axis=0)
+        audio = chunks.transpose(1, 0, 2).reshape(2, -1)
+        pcm = np.asarray(q_ops.float_to_pcm16(audio)).T.copy()
+        return cfg.sample_rate, pcm

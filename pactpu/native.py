@@ -1,0 +1,177 @@
+"""ctypes binding to the native bitstream runtime (csrc/wakbits.cc).
+
+The shared library is compiled on first use with g++ -O3 into a build cache
+next to the package; set PACTPU_NO_NATIVE=1 to force the pure-Python
+fallbacks (pactpu.compat.refcodec) everywhere the engine checks
+`available()`.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_lock = threading.Lock()
+_lib = None
+_tables_ready = False
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))), "csrc", "wakbits.cc")
+_BUILD_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "data", "_build")
+
+
+def _build() -> str:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    so = os.path.join(_BUILD_DIR, "libwakbits.so")
+    if (not os.path.exists(so)
+            or os.path.getmtime(so) < os.path.getmtime(_SRC)):
+        tmp = so + ".tmp"
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
+            check=True, capture_output=True)
+        os.replace(tmp, so)
+    return so
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        lib = ctypes.CDLL(_build())
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.wak_init_tables.restype = ctypes.c_int
+        lib.wak_init_tables.argtypes = [u8p, u32p, u8p, u32p,
+                                        ctypes.c_int, ctypes.c_int]
+        lib.wak_pack_file.restype = ctypes.c_int64
+        lib.wak_pack_file.argtypes = (
+            [ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int,
+             ctypes.c_int, ctypes.c_int] + [i32p] * 8
+            + [u8p, ctypes.c_int64])
+        lib.wak_count_blocks.restype = ctypes.c_int64
+        lib.wak_count_blocks.argtypes = [u8p, ctypes.c_int64]
+        lib.wak_unpack_file.restype = ctypes.c_int64
+        lib.wak_unpack_file.argtypes = (
+            [u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int, i32p,
+             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            + [i32p] * 6)
+        _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    if os.environ.get("PACTPU_NO_NATIVE"):
+        return False
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+def _i32(a: np.ndarray):
+    a = np.ascontiguousarray(a, dtype=np.int32)
+    return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def init_tables() -> None:
+    """Upload the Huffman decode trees (idempotent)."""
+    global _tables_ready
+    if _tables_ready:
+        return
+    from pactpu.ops.huffman import load_tables
+    lengths, codes, esc_len, esc_codes = load_tables()
+    lib = _load()
+    le = np.ascontiguousarray(lengths, np.uint8)
+    co = np.ascontiguousarray(codes, np.uint32)
+    el = np.ascontiguousarray(esc_len, np.uint8)
+    ec = np.ascontiguousarray(esc_codes, np.uint32)
+    lib.wak_init_tables(
+        le.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        co.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        el.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ec.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        lengths.shape[0], lengths.shape[1])
+    _tables_ready = True
+
+
+def pack_file(n_lines: np.ndarray, n_scale_bits: int, n_mant_size_bits: int,
+              n_table_id_bits: int, overall: np.ndarray, table_id: np.ndarray,
+              ba: np.ndarray, sf: np.ndarray, sign: np.ndarray,
+              code: np.ndarray, length: np.ndarray,
+              lrms: np.ndarray) -> bytes:
+    """Serialize all channel-block payloads.
+
+    Shapes: overall/table_id [R]; ba/sf [R, bands]; sign/code/length
+    [R, total_lines]; lrms [R//2, bands] (per block).  R = 2 * n_blocks in
+    block-major, channel-minor order.
+    """
+    lib = _load()
+    r = int(overall.shape[0])
+    n_bands = int(ba.shape[1])
+    total_lines = int(sign.shape[1])
+    nl, nl_p = _i32(n_lines)
+    ov, ov_p = _i32(overall)
+    ti, ti_p = _i32(table_id)
+    ba_, ba_p = _i32(ba)
+    sf_, sf_p = _i32(sf)
+    sg, sg_p = _i32(sign)
+    cd, cd_p = _i32(code)
+    ln, ln_p = _i32(length)
+    lr, lr_p = _i32(lrms)
+    # worst case: every line escapes with a 32-bit code + signs + side info
+    cap = r * (4 + 16 + (total_lines * 33 + n_bands * 16) // 8 + 64)
+    out = np.zeros(cap, np.uint8)
+    n = lib.wak_pack_file(
+        r, n_bands, nl_p, total_lines, n_scale_bits, n_mant_size_bits,
+        n_table_id_bits, ov_p, ti_p, ba_p, sf_p, sg_p, cd_p, ln_p, lr_p,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(cap))
+    if n < 0:
+        raise RuntimeError("wak_pack_file: output capacity exceeded")
+    return out[:n].tobytes()
+
+
+def unpack_file(payload: bytes, n_lines: np.ndarray, n_scale_bits: int,
+                n_mant_size_bits: int, n_table_id_bits: int):
+    """Parse every channel-block payload in `payload` (past the header).
+
+    Returns dict of arrays keyed overall/table_id/ba/sf/mant [R, ...] and
+    lrms [R//2, bands], plus the parsed channel-block count R.
+    """
+    lib = _load()
+    init_tables()
+    data = np.frombuffer(payload, np.uint8)
+    dp = data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    r = int(lib.wak_count_blocks(dp, len(data)))
+    if r == 0:
+        raise ValueError("no channel-blocks found in payload")
+    n_bands = len(n_lines)
+    total_lines = int(np.sum(n_lines))
+    nl, nl_p = _i32(n_lines)
+    overall = np.zeros(r, np.int32)
+    table_id = np.zeros(r, np.int32)
+    ba = np.zeros((r, n_bands), np.int32)
+    sf = np.zeros((r, n_bands), np.int32)
+    mant = np.zeros((r, total_lines), np.int32)
+    lrms = np.zeros(((r + 1) // 2, n_bands), np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.wak_unpack_file(
+        dp, len(data), r, n_bands, nl_p, total_lines, n_scale_bits,
+        n_mant_size_bits, n_table_id_bits,
+        overall.ctypes.data_as(i32p), table_id.ctypes.data_as(i32p),
+        ba.ctypes.data_as(i32p), sf.ctypes.data_as(i32p),
+        mant.ctypes.data_as(i32p), lrms.ctypes.data_as(i32p))
+    if rc < 0:
+        raise ValueError(f"corrupt payload at channel-block {-rc - 1}")
+    return dict(overall=overall, table_id=table_id, ba=ba, sf=sf,
+                mant=mant, lrms=lrms, n_cblocks=r)

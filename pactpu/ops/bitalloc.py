@@ -1,0 +1,161 @@
+"""Batched water-filling bit allocation, TPU-native.
+
+The reference allocator (reference codec/bitalloc.py:129-184) is a
+data-dependent greedy loop: one mantissa bit per iteration to the band with
+the highest NMR residual, with a global stop test keyed to the candidate
+band's L/R-vs-M/S flag, a max-bits cap, and post-loop refund of 1-bit bands.
+
+TPU design: the loop runs as a `lax.while_loop` whose body is fully
+vectorized over a batch of R independent (block, channel) rows — every row
+performs its own masked argmax/grant per iteration and rows that finish
+simply stop changing state, so one while_loop allocates every block of an
+audio file in lockstep.  The iteration count is bounded by
+budget / min(nLines) + nBands, a few hundred for the 128 kbps operating
+point.
+
+Legacy allocators (Uniform / ConstSNR / ConstMNR, bitalloc.py:22-125) are
+provided as bounded `fori_loop` equivalents for API parity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_NEG = jnp.float32(-1e30)
+
+
+def water_fill(total_bits: jax.Array, max_mant_bits: int,
+               n_lines: jax.Array, smr: jax.Array, lrms: jax.Array,
+               ms_stop: float = -5.0, lr_stop: float = -15.0):
+    """Batched exact-semantics water-filling (reference bitalloc.py:129-184).
+
+    total_bits: i32[R]  (int(bitBudget + extraBits) per row)
+    n_lines:    i32[bands]
+    smr:        f32[R, bands]
+    lrms:       bool[R, bands]
+    Returns (bits i32[R, bands], leftover i32[R]) where leftover is the
+    unspent `totalBits` *after* the 1-bit refund; the caller computes
+    bitDifference = leftover - extraBits.
+    """
+    r, n_bands = smr.shape
+    n_lines = jnp.asarray(n_lines, jnp.int32)
+    smr = smr.astype(jnp.float32)
+
+    def body(state):
+        bits, total, valid = state
+        resid = smr - 6.0 * bits.astype(jnp.float32)
+        # first-index argmax among valid bands (np.argmax tie-break)
+        cand = jnp.argmax(jnp.where(valid, resid, _NEG), axis=1)
+        row = jnp.arange(r)
+        active = valid.any(axis=1)
+
+        # global stop: max over ALL bands of SMR - (bits-1)*6 vs the
+        # candidate band's threshold
+        global_resid = jnp.max(smr - (bits - 1).astype(jnp.float32) * 6.0,
+                               axis=1)
+        stop_thr = jnp.where(lrms[row, cand], ms_stop, lr_stop)
+        kill_stop = global_resid < stop_thr
+
+        cost = n_lines[cand]
+        can_pay = (total - cost) >= 0
+        grant = active & can_pay
+        new_bits = bits.at[row, cand].add(
+            jnp.where(grant, jnp.int32(1), jnp.int32(0)))
+        new_total = total - jnp.where(grant, cost, 0)
+        hit_cap = new_bits[row, cand] >= max_mant_bits
+        kill = active & (kill_stop | ~can_pay | (grant & hit_cap))
+        new_valid = valid.at[row, cand].set(
+            jnp.where(kill, False, valid[row, cand]))
+        return new_bits, new_total, new_valid
+
+    def cond(state):
+        return state[2].any()
+
+    bits0 = jnp.zeros((r, n_bands), jnp.int32)
+    valid0 = jnp.ones((r, n_bands), bool)
+    bits, total, _ = jax.lax.while_loop(
+        cond, body, (bits0, jnp.asarray(total_bits, jnp.int32), valid0))
+
+    ones_mask = bits == 1
+    refund = jnp.sum(jnp.where(ones_mask, n_lines[None], 0), axis=1)
+    bits = jnp.where(ones_mask, 0, bits)
+    return bits, total + refund
+
+
+def _greedy_floor(allocation, max_mant_bits):
+    allocation = jnp.where(allocation < 2, 0, allocation)
+    return jnp.minimum(allocation, max_mant_bits)
+
+
+def alloc_uniform(bit_budget: int, max_mant_bits: int,
+                  n_lines: jax.Array) -> jax.Array:
+    """Uniform allocation with round-robin distribution of leftovers
+    (reference BitAllocUniform, codec/bitalloc.py:22-57)."""
+    import numpy as np
+    total_lines = float(np.sum(np.asarray(n_lines)))
+    n_lines = jnp.asarray(n_lines, jnp.int32)
+    n_bands = n_lines.shape[0]
+    per_line = jnp.int32(int(bit_budget / total_lines))
+    alloc = jnp.full((n_bands,), per_line, jnp.int32)
+    remaining = jnp.int32(bit_budget) - jnp.sum(alloc * n_lines)
+
+    def body(state):
+        alloc, remaining, line = state
+        band = line % n_bands
+        nxt = remaining - n_lines[band]
+        take = nxt >= 0
+        inc = take & (alloc[band] < max_mant_bits)
+        alloc = alloc.at[band].add(jnp.where(inc, 1, 0))
+        return alloc, jnp.where(take, nxt, remaining), line + 1
+
+    def cond(state):
+        _, remaining, line = state
+        return (remaining > 0) & (remaining - n_lines[line % n_bands] >= 0)
+
+    alloc, _, _ = jax.lax.while_loop(
+        cond, body, (alloc, remaining, jnp.int32(0)))
+    return _greedy_floor(alloc, max_mant_bits)
+
+
+def _greedy_noise_floor(bit_budget: int, max_mant_bits: int,
+                        n_lines: jax.Array, level: jax.Array) -> jax.Array:
+    """Shared greedy core of ConstSNR/ConstMNR (codec/bitalloc.py:60-125):
+    give a bit to argmax(level), lower that level by 6 dB, until the budget
+    can no longer pay (bounded here, where the reference can spin forever
+    once every band is capped)."""
+    import numpy as np
+    min_lines = max(1, int(np.min(np.asarray(n_lines))))
+    n_lines = jnp.asarray(n_lines, jnp.int32)
+    n_bands = n_lines.shape[0]
+    max_iters = int(bit_budget) // min_lines + 16 * n_bands
+
+    def body(_, state):
+        alloc, remaining, level = state
+        band = jnp.argmax(level)
+        ok = (alloc[band] < max_mant_bits) & (remaining - n_lines[band] >= 0)
+        live = remaining > 0
+        alloc = alloc.at[band].add(jnp.where(live & ok, 1, 0))
+        remaining = remaining - jnp.where(live & ok, n_lines[band], 0)
+        level = level.at[band].add(jnp.where(live, -6.0, 0.0))
+        return alloc, remaining, level
+
+    alloc, _, _ = jax.lax.fori_loop(
+        0, max_iters, body,
+        (jnp.zeros((n_bands,), jnp.int32), jnp.int32(bit_budget),
+         level.astype(jnp.float32)))
+    return _greedy_floor(alloc, max_mant_bits)
+
+
+def alloc_const_snr(bit_budget: int, max_mant_bits: int, n_lines: jax.Array,
+                    peak_spl: jax.Array) -> jax.Array:
+    """Constant-SNR allocation from per-band peak SPL
+    (reference BitAllocConstSNR, codec/bitalloc.py:60-90)."""
+    return _greedy_noise_floor(bit_budget, max_mant_bits, n_lines, peak_spl)
+
+
+def alloc_const_mnr(bit_budget: int, max_mant_bits: int, n_lines: jax.Array,
+                    smr: jax.Array) -> jax.Array:
+    """Constant-MNR allocation from per-band SMR
+    (reference BitAllocConstMNR, codec/bitalloc.py:93-125)."""
+    return _greedy_noise_floor(bit_budget, max_mant_bits, n_lines, smr)

@@ -1,0 +1,95 @@
+"""Static-table Huffman coding as TPU gathers.
+
+The reference encoder walks dicts: for each channel-block it encodes the
+unsigned mantissas with *all ten* genre tables and keeps the cheapest
+(reference codec/Huffman.py:274-309), with an escape code (symbol -1)
+followed by the raw bitAlloc-bit mantissa for symbols absent from a table
+(Huffman.py:294-298).
+
+TPU design: the ten tables live as dense `[10, 32768]` (length, code)
+arrays (ported from codec/huffmanTables.pickle by
+tools/port_huffman_tables.py).  Per-line code lengths for all ten tables are
+one gather; the best-table choice is an argmin over the ten per-table length
+sums; codewords are a second gather.  Everything is batched over
+(block, channel) rows — table selection for a whole file is a handful of
+fused ops.
+
+Bit-serial decoding does not vectorize (codeword boundaries are
+data-dependent, Huffman.py:321-344); decode runs on the host in native code
+(csrc/wakbits.cc), parallel across channel-blocks.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=1)
+def load_tables():
+    """Dense numpy tables: (lengths[10, S], codes[10, S], esc_len[10],
+    esc_code[10])."""
+    import importlib.resources as res
+    path = str(res.files("pactpu").joinpath("data/huffman_tables.npz"))
+    z = np.load(path)
+    return (z["lengths"].astype(np.int32), z["codes"].astype(np.int32),
+            z["escape_lengths"].astype(np.int32),
+            z["escape_codes"].astype(np.int32))
+
+
+def encode_select(symbols: jax.Array, line_bits: jax.Array,
+                  transmit: jax.Array):
+    """Best-table Huffman encode of a batch of channel-blocks.
+
+    symbols:   i32[R, L] unsigned mantissa codes (sign stripped)
+    line_bits: i32[R, L] the band bit allocation of each line (escape cost)
+    transmit:  bool[R, L] lines actually transmitted (bitAlloc > 0)
+
+    Returns (table_id i32[R] in 1..10, codes i32[R, L], lengths i32[R, L],
+    total_bits i32[R]).  Lengths are zero for untransmitted lines; ties in
+    total length go to the lowest table id (reference Huffman.py:284-308).
+    """
+    lengths_np, codes_np, esc_len_np, esc_code_np = load_tables()
+    tab_lens = jnp.asarray(lengths_np)        # [10, S]
+    tab_codes = jnp.asarray(codes_np)
+    esc_len = jnp.asarray(esc_len_np)         # [10]
+    esc_code = jnp.asarray(esc_code_np)
+
+    sym = symbols.astype(jnp.int32)
+    lens_all = tab_lens[:, sym]               # [10, R, L]
+    in_table = lens_all > 0
+    esc_cost = esc_len[:, None, None] + line_bits[None]
+    lens_all = jnp.where(in_table, lens_all, esc_cost)
+    lens_all = jnp.where(transmit[None], lens_all, 0)
+    totals = jnp.sum(lens_all, axis=-1)       # [10, R]
+    best = jnp.argmin(totals, axis=0)         # first min -> lowest id
+
+    r = jnp.arange(sym.shape[0])
+    lens = lens_all[best, r]                  # [R, L]
+    native = tab_codes[best[:, None], sym]
+    escape = jnp.left_shift(esc_code[best][:, None], line_bits) + sym
+    codes = jnp.where(in_table[best, r], native, escape)
+    codes = jnp.where(transmit, codes, 0)
+    return best + 1, codes, lens, totals[best, r]
+
+
+def split_sign(mantissas: jax.Array, line_bits: jax.Array):
+    """Strip the BFP sign bit: mantissa -> (sign, unsigned symbol)
+    (reference codec/codec.py:67-81 StripSignBits)."""
+    lb = jnp.maximum(line_bits, 1)
+    sign = jnp.right_shift(mantissas, lb - 1) & 1
+    unsigned = mantissas & (jnp.left_shift(jnp.int32(1), lb - 1) - 1)
+    return sign, unsigned
+
+
+def reservoir_step(deposit: jax.Array):
+    """One block's withdrawal from the bit reservoir: floor(deposit/100)
+    when deposit > 10, the whole (negative) balance when deposit < 0
+    (reference codec/Huffman.py:353-371). Returns (withdrawn, new_deposit)."""
+    take_pos = jnp.where(deposit > 10, deposit // 100, 0)
+    take_neg = jnp.where(deposit < 0, deposit, 0)
+    take = take_pos + take_neg
+    return take, deposit - take

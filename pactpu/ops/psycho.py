@@ -1,0 +1,273 @@
+"""Batched TPU psychoacoustic model.
+
+Re-design of the reference masking model (reference codec/psychoac.py) for
+XLA: where the reference walks a variable-length peak list per block and
+spreads each masker over 512 lines in a Python loop
+(psychoac.py:158-191, 215-251, 409-456), here every interior FFT bin is a
+*potential* masker carried in a fixed-shape mask, and the spreading function
+evaluates as one dense `[B, bins, lines]` elementwise expression whose
+data-independent pieces (bark distances, downward slope) are precomputed
+constants.  Six masked-threshold variants per block (L, R, M, S and the
+two no-drop MLD variants, psychoac.py:506-682) batch into one call.
+
+Reference quirks deliberately reproduced (see pactpu.compat.refcodec):
+Q3/Q4 peak frequency = bin * (fs // N) on an integer grid; Q5 empty SPL
+window for bins < 3; Q2 window compounding is the *caller's* job (inputs
+must carry the window state the reference mutated into them).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pactpu.ops.windows import hann_window
+
+# SPL floor constants (reference codec/psychoac.py:15-42)
+_I_FLOOR = 10.0 ** ((-30.0 - 96.0) / 10.0)
+
+
+def spl(intensity: jax.Array) -> jax.Array:
+    """SPL in dB from intensity, 96 dB reference, -30 dB floor
+    (reference codec/psychoac.py:15-33)."""
+    i = jnp.maximum(intensity, _I_FLOOR)
+    return jnp.maximum(96.0 + (10.0 / np.log(10.0)) * jnp.log(i), -30.0)
+
+
+def _bark_np(f: np.ndarray) -> np.ndarray:
+    khz = np.asarray(f, np.float64) / 1000.0
+    return 13.0 * np.arctan(0.76 * khz) + 3.5 * np.arctan((khz / 7.5) ** 2)
+
+
+def _thresh_quiet_np(f: np.ndarray) -> np.ndarray:
+    khz = np.maximum(f, 10.0) / 1000.0
+    return (3.64 * khz ** -0.8
+            - 6.5 * np.exp(-0.6 * (khz - 3.3) ** 2)
+            + 0.001 * khz ** 4)
+
+
+def _mld_np(f: np.ndarray) -> np.ndarray:
+    """MLD factor over linear frequency, normalized to max 1
+    (reference codec/psychoac.py:349-372)."""
+    out = np.power(10.0, 1.25 * (
+        1.0 - np.cos(np.pi * (np.minimum(f, 3000.0) / 3000.0)) - 2.5))
+    return out / np.amax(out)
+
+
+@lru_cache(maxsize=8)
+def _consts(n: int, fs: int):
+    """Static spreading-geometry tables for window size n (n//2 lines/bins).
+
+    Everything here depends only on (n, fs): MDCT line frequencies, bark
+    distances between every (masker bin, MDCT line) pair, the -27 dB/bark
+    downward slope and the level-dependent upward-slope factor
+    (reference codec/psychoac.py:66-120).
+    """
+    half = n // 2
+    line_freqs = (np.arange(half, dtype=np.float64) + 0.5) / half * (fs / 2.0)
+    zvec = _bark_np(line_freqs)
+    quiet_i = 10.0 ** ((_thresh_quiet_np(line_freqs) - 96.0) / 10.0)
+    grid = float(int(fs) // n)                     # Q4 integer grid
+    bin_bark = _bark_np(np.arange(half, dtype=np.float64) * grid)
+    dz = zvec[None, :] - bin_bark[:, None]         # [bins, lines]
+    onslope = (np.abs(dz) - 0.5) * (np.abs(dz) > 0.5)
+    base_db = -27.0 * onslope                      # data-independent part
+    posfac = (dz >= 0.0) * onslope                 # multiplies leveling
+    mld = _mld_np(line_freqs)
+    # cached as numpy: a device array materialized during one jit trace must
+    # not leak into another (same reason as pactpu.ops.mdct._mdct_basis)
+    f32 = lambda a: np.asarray(a, np.float32)  # noqa: E731
+    return (f32(quiet_i), f32(base_db), f32(posfac), f32(mld))
+
+
+def masker_levels(x: jax.Array, fs: int):
+    """Per-bin masker SPLs and the peak mask for a batch of blocks.
+
+    x: f32[..., N] time blocks carrying their window state (one further Hann
+    window is applied here, as in reference calcBTHR psychoac.py:428).
+    Returns (mspl[..., N/2], peak_mask[..., N/2]).
+    """
+    n = x.shape[-1]
+    half = n // 2
+    hann = jnp.asarray(hann_window(n), x.dtype)
+    spec = jnp.fft.rfft(x * hann)[..., :half]
+    p2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+
+    # interior local maxima of |X| with 10*log10(|X|) > -30 (psychoac.py:158-191)
+    up = p2[..., 1:-1] > p2[..., :-2]
+    down = p2[..., 1:-1] > p2[..., 2:]
+    loud = p2[..., 1:-1] > 1e-6
+    pad = jnp.zeros(p2.shape[:-1] + (1,), bool)
+    peak = jnp.concatenate([pad, up & down & loud, pad], axis=-1)
+
+    # masker SPL over the 6-bin window [i-3, i+3); empty (=0) when i < 3 (Q5)
+    cs = jnp.cumsum(p2, axis=-1)
+    idx = jnp.arange(half)
+    hi = cs[..., jnp.minimum(idx + 2, half - 1)]
+    lo = jnp.where(idx >= 4, cs[..., jnp.maximum(idx - 4, 0)], 0.0)
+    win = jnp.where(idx >= 3, hi - lo, 0.0)
+    scale8 = (8.0 / 3.0) * 4.0 / float(n) ** 2
+    mspl = spl(scale8 * win)
+    return mspl, peak
+
+
+def masked_threshold(x: jax.Array, drop_db: jax.Array, fs: int,
+                     chunk: int = 8) -> jax.Array:
+    """Masked thresholds (SPL dB at the MDCT line frequencies) for a batch.
+
+    x: f32[B, N] windowed time blocks; drop_db: f32[B] per-row tonal-masker
+    drop (15 for normal thresholds, 0 for the no-drop MLD variants,
+    reference codec/psychoac.py:103-120, 409-456).
+
+    The accumulation is intensity addition (alpha=1) of every masker plus
+    the threshold in quiet (psychoac.py:215-251), evaluated as a dense
+    [chunk, bins, lines] expression; `chunk` bounds peak memory.
+    """
+    n = x.shape[-1]
+    quiet_i, base_db, posfac, _ = _consts(n, int(fs))
+    mspl, peak = masker_levels(x, fs)
+    lev = 0.367 * jnp.maximum(mspl - 40.0, 0.0)
+
+    def one_chunk(args):
+        mspl_c, lev_c, peak_c, drop_c = args
+        s_db = (mspl_c[:, :, None] - drop_c[:, None, None]
+                + base_db[None] + lev_c[:, :, None] * posfac[None])
+        contrib = jnp.exp2(jnp.float32(np.log2(10.0) / 10.0)
+                           * (s_db - 96.0)) * peak_c[:, :, None]
+        return jnp.sum(contrib, axis=1)
+
+    b = x.shape[0]
+    pad = (-b) % chunk
+    def padded(a):
+        return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)).reshape(
+            (b + pad) // chunk, chunk, *a.shape[1:])
+    total = jax.lax.map(one_chunk, (padded(mspl), padded(lev),
+                                    padded(peak.astype(mspl.dtype)),
+                                    padded(drop_db)))
+    total = total.reshape(b + pad, -1)[:b]
+    return spl(quiet_i[None] + total)
+
+
+def band_max(values: jax.Array, layout, fill: float = -96.0) -> jax.Array:
+    """Per-scale-factor-band max over MDCT lines: [..., lines] -> [..., bands]
+    (the band reduction of reference CalcSMRs / calcStereoSMR,
+    psychoac.py:253-318, 458-504). Empty bands yield `fill`."""
+    seg = jnp.asarray(layout.line_to_band)
+    n_bands = layout.n_bands
+    flat = values.reshape(-1, values.shape[-1])
+    out = jnp.full((flat.shape[0], n_bands), fill, values.dtype)
+    out = out.at[:, seg].max(flat)
+    return out.reshape(values.shape[:-1] + (n_bands,))
+
+
+def mdct_spl(scaled_lines: jax.Array, overall_scale: jax.Array) -> jax.Array:
+    """SPL of MDCT lines that were scaled by 2^overallScale:
+    SPL(4 X^2) - 6.02 * scale (reference codec/psychoac.py:534-536)."""
+    return (spl(4.0 * scaled_lines * scaled_lines)
+            - 6.02 * overall_scale[..., None].astype(scaled_lines.dtype))
+
+
+def calc_smrs(sine_windowed: jax.Array, scaled_lines: jax.Array,
+              overall_scale: jax.Array, fs: int, layout) -> jax.Array:
+    """Mono per-band max SMR (reference CalcSMRs, psychoac.py:253-318).
+
+    sine_windowed: f32[B, N]; scaled_lines: f32[B, N/2];
+    overall_scale: i32[B].  Returns f32[B, n_bands].
+    """
+    drop = jnp.full(sine_windowed.shape[0], 15.0, jnp.float32)
+    thr = masked_threshold(sine_windowed, drop, fs)
+    # the mono path divides out 2^scale *before* the SPL floor clamps
+    # (reference psychoac.py:253-318), unlike the stereo path's
+    # clamp-then-subtract `SPL(4X^2) - 6.02*scale`
+    true_lines = scaled_lines * jnp.exp2(
+        -overall_scale[..., None].astype(scaled_lines.dtype))
+    lines_spl = spl(4.0 * true_lines * true_lines)
+    return band_max(lines_spl - thr, layout, fill=0.0)
+
+
+def stereo_smrs(sine_windowed: jax.Array, scaled_lines: jax.Array,
+                overall_scale: jax.Array, lrms: jax.Array, fs: int, layout):
+    """Stereo SMRs + channel-mixed MDCT lines for a batch of blocks
+    (reference getStereoMaskThreshold, codec/psychoac.py:506-682).
+
+    sine_windowed: f32[B, 2, N] sine-windowed time blocks;
+    scaled_lines: f32[B, 2, N/2] MDCT lines scaled by 2^overallScale;
+    overall_scale: i32[B, 2]; lrms: bool[B, bands].
+    Returns (smr f32[B, 2, bands], mixed f32[B, 2, N/2]).
+
+    Quirk parity: the M/S time blocks are built from hann*sine data and the
+    no-drop MLD variants from hann^2*sine data (Q2 window compounding);
+    M/S MDCT lines average the per-channel scaled lines (Q15); the M SPL
+    uses channel 0's overall scale and S uses channel 1's.
+    """
+    b, _, n = sine_windowed.shape
+    half = n // 2
+    hann = jnp.asarray(hann_window(n), sine_windowed.dtype)
+    _, _, _, mld = _consts(n, int(fs))
+
+    hl = hann * sine_windowed[:, 0]
+    hr = hann * sine_windowed[:, 1]
+    ms_m = (hl + hr) * 0.5
+    ms_s = (hl - hr) * 0.5
+
+    # six thresholds in one batched call: L, R, M, S, M_mld, S_mld
+    stack = jnp.stack([sine_windowed[:, 0], sine_windowed[:, 1],
+                       ms_m, ms_s, hann * ms_m, hann * ms_s], axis=1)
+    drops = jnp.broadcast_to(
+        jnp.asarray([15.0, 15.0, 15.0, 15.0, 0.0, 0.0], jnp.float32),
+        (b, 6)).reshape(-1)
+    thr = masked_threshold(stack.reshape(b * 6, n), drops, fs)
+    thr = thr.reshape(b, 6, half)
+    bthr_l, bthr_r, bthr_m, bthr_s, bthr_m_mld, bthr_s_mld = (
+        thr[:, i] for i in range(6))
+
+    ms_lines = jnp.stack([(scaled_lines[:, 0] + scaled_lines[:, 1]) * 0.5,
+                          (scaled_lines[:, 0] - scaled_lines[:, 1]) * 0.5],
+                         axis=1)
+
+    lr_spl = mdct_spl(scaled_lines, overall_scale)
+    ms_spl = mdct_spl(ms_lines, overall_scale)
+
+    thr_ms = jnp.stack(
+        [jnp.maximum(bthr_m, jnp.minimum(bthr_s, mld * bthr_s_mld)),
+         jnp.maximum(bthr_s, jnp.minimum(bthr_m, mld * bthr_m_mld))], axis=1)
+    thr_lr = jnp.stack([bthr_l, bthr_r], axis=1)
+
+    smr_lr = band_max(lr_spl - thr_lr, layout)
+    smr_ms = band_max(ms_spl - thr_ms, layout)
+
+    lrms_b = lrms[:, None, :]
+    smr = jnp.where(lrms_b, smr_ms, smr_lr)
+    line_lrms = lrms[:, None, jnp.asarray(layout.line_to_band)]
+    mixed = jnp.where(line_lrms, ms_lines, scaled_lines)
+    return smr, mixed
+
+
+def lrms_decision(full_blocks: jax.Array, layout,
+                  factor: float = 0.8) -> jax.Array:
+    """Per-band L/R-vs-M/S decision from complex FFT band sums:
+    |sum(L^2 - R^2)| < factor * |sum(L^2 + R^2)| over complex squares of the
+    unwindowed block (Q14, reference codec/codec.py:94-102).
+
+    full_blocks: f32[B, 2, N]. Returns bool[B, bands].
+    """
+    half = full_blocks.shape[-1] // 2
+    spec = jnp.fft.rfft(full_blocks)[..., :half]
+    sq = spec * spec                                 # complex squares
+    seg = jnp.asarray(layout.line_to_band)
+    n_bands = layout.n_bands
+
+    def band_sum(v):
+        flat = v.reshape(-1, half)
+        out = jnp.zeros((flat.shape[0], n_bands), v.dtype)
+        out = out.at[:, seg].add(flat)
+        return out.reshape(v.shape[:-1] + (n_bands,))
+
+    re = band_sum(jnp.real(sq))
+    im = band_sum(jnp.imag(sq))
+    diff = jnp.abs(jax.lax.complex(re[:, 0] - re[:, 1], im[:, 0] - im[:, 1]))
+    tot = jnp.abs(jax.lax.complex(re[:, 0] + re[:, 1], im[:, 0] + im[:, 1]))
+    return diff < factor * tot

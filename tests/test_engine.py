@@ -1,0 +1,88 @@
+"""End-to-end TPU engine vs the byte-exact reference oracle.
+
+Parity bar (BASELINE.json): SNR of the engine's decoded output must match
+the reference pipeline at equal bit budget; streams must interoperate both
+ways (engine stream decodable by the oracle and vice versa).
+"""
+
+import numpy as np
+import pytest
+
+from pactpu.codec.engine import Engine
+from pactpu.codec.wav import read_wav, pcm16_to_float_np
+from pactpu.compat import refcodec as rc
+from tests.conftest import REFERENCE, requires_reference
+
+
+def _snr(ref_pcm: np.ndarray, test_pcm: np.ndarray) -> float:
+    n = min(len(ref_pcm), len(test_pcm))
+    x = pcm16_to_float_np(ref_pcm[:n].astype(np.int64))
+    y = pcm16_to_float_np(test_pcm[:n].astype(np.int64))
+    return 10 * np.log10(np.sum(x ** 2) / max(np.sum((x - y) ** 2), 1e-30))
+
+
+@pytest.fixture(scope="module")
+def piano():
+    return read_wav(f"{REFERENCE}/inputs/piano_test2.wav")
+
+
+@pytest.fixture(scope="module")
+def engine_stream(piano):
+    return Engine(rate_mode="reservoir").encode(piano.samples)
+
+
+@requires_reference
+def test_snr_parity_with_reference(piano, engine_stream):
+    """Engine codec SNR equals the reference codec SNR at equal budget."""
+    eng = Engine()
+    _, pcm_eng = eng.decode(engine_stream)
+    ref_out = read_wav(f"{REFERENCE}/outputs/piano_test2.wav").samples
+    snr_eng = _snr(piano.samples, pcm_eng)
+    snr_ref = _snr(piano.samples, ref_out)
+    assert snr_eng >= snr_ref - 0.05, (snr_eng, snr_ref)
+
+
+@requires_reference
+def test_rate_within_reference_budget(piano, engine_stream):
+    gold = open(f"{REFERENCE}/coded/piano_test2.wak", "rb").read()
+    assert len(engine_stream) <= 1.02 * len(gold)
+
+
+@requires_reference
+def test_stream_interop_engine_to_oracle(engine_stream):
+    """The oracle (bit-exact reference semantics) decodes engine streams."""
+    eng = Engine()
+    _, pcm_eng = eng.decode(engine_stream)
+    _, pcm_oracle = rc.decode_file(engine_stream)
+    n = min(len(pcm_eng), len(pcm_oracle))
+    diff = np.abs(pcm_eng[:n].astype(np.int32)
+                  - pcm_oracle[:n].astype(np.int32))
+    assert diff.max() <= 1  # f32 vs f64 IMDCT rounding
+
+
+@requires_reference
+def test_engine_decodes_golden_reference_stream(piano):
+    """The engine decodes a reference-produced golden .wak identically to
+    the golden decoded WAV (modulo f32 IMDCT rounding)."""
+    gold = open(f"{REFERENCE}/coded/piano_test2.wak", "rb").read()
+    _, pcm = Engine().decode(gold)
+    gwav = read_wav(f"{REFERENCE}/outputs/piano_test2.wav").samples
+    n = min(len(pcm), len(gwav))
+    diff = np.abs(pcm[:n].astype(np.int32) - gwav[:n].astype(np.int32))
+    assert diff.max() <= 1
+    assert float(np.mean(diff > 0)) < 2e-3
+
+
+def test_cbr_mode_roundtrip():
+    rng = np.random.default_rng(0)
+    t = np.arange(8192) / 44100.0
+    sig = (0.4 * np.sin(2 * np.pi * 440 * t)
+           + 0.1 * np.sin(2 * np.pi * 2030 * t)
+           + 0.02 * rng.standard_normal(8192))
+    pcm = np.clip(sig * 20000, -32767, 32767).astype(np.int16)
+    pcm = np.stack([pcm, np.roll(pcm, 7)], axis=1)
+    eng = Engine(rate_mode="cbr")
+    stream = eng.encode(pcm)
+    fs, out = eng.decode(stream)
+    assert fs == 44100
+    assert _snr(pcm, out) > 0.0  # decodes into correlated audio
