@@ -61,7 +61,12 @@ def frame_blocks(x: jax.Array, half: int, n_blocks: int) -> jax.Array:
 
 
 @lru_cache(maxsize=16)
-def _encode_fn(cfg: CodecConfig, two_channel_chain: bool = True):
+def encode_body(cfg: CodecConfig, two_channel_chain: bool = True):
+    """The full per-block encode computation as a pure traceable function
+    `(frames f32[B, 2, 2N], extra0 f32[B]) -> dict of device arrays` —
+    jitted directly for single-chip use (`_encode_fn`) or wrapped in
+    `shard_map` for block-sharded multi-chip encoding
+    (pactpu.parallel.shard)."""
     layout = cfg.band_layout
     half = cfg.n_mdct_lines
     n = 2 * half
@@ -72,7 +77,6 @@ def _encode_fn(cfg: CodecConfig, two_channel_chain: bool = True):
     budget = float(cfg.bit_budget())
     sine = np.asarray(sine_window(n), np.float32)
 
-    @jax.jit
     def run(frames: jax.Array, extra0: jax.Array):
         b = frames.shape[0]
         sw = frames * sine[None, None, :]
@@ -118,6 +122,7 @@ def _encode_fn(cfg: CodecConfig, two_channel_chain: bool = True):
         return dict(
             overall=overall, lrms=lrms, bits=bits, sf=sf,
             sign=jnp.where(transmit, sign, 0),
+            syms=jnp.where(transmit, unsigned, -1),
             codes=codes.reshape(b, 2, half), lens=lens.reshape(b, 2, half),
             tid=tid.reshape(b, 2), savings=savings, leftover=left1)
 
@@ -125,13 +130,19 @@ def _encode_fn(cfg: CodecConfig, two_channel_chain: bool = True):
 
 
 @lru_cache(maxsize=16)
-def _decode_fn(cfg: CodecConfig):
+def _encode_fn(cfg: CodecConfig, two_channel_chain: bool = True):
+    return jax.jit(encode_body(cfg, two_channel_chain))
+
+
+@lru_cache(maxsize=16)
+def decode_body(cfg: CodecConfig):
+    """Pure traceable synthesis: quantized block arrays -> pre-overlap time
+    samples; see `encode_body` for the jit/shard_map split."""
     layout = cfg.band_layout
     half = cfg.n_mdct_lines
     seg = np.asarray(layout.line_to_band)
     sine = np.asarray(sine_window(2 * half), np.float32)
 
-    @jax.jit
     def run(ba: jax.Array, sf: jax.Array, mant: jax.Array,
             overall: jax.Array, lrms: jax.Array):
         """ba/sf: i32[B, 2, bands]; mant: i32[B, 2, half];
@@ -152,6 +163,11 @@ def _decode_fn(cfg: CodecConfig):
         return imdct(lines) * sine[None, None, :]
 
     return run
+
+
+@lru_cache(maxsize=16)
+def _decode_fn(cfg: CodecConfig):
+    return jax.jit(decode_body(cfg))
 
 
 def _pad_blocks(b: int) -> int:

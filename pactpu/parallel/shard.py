@@ -1,0 +1,139 @@
+"""Block-stream sharding across a TPU device mesh.
+
+The reference processes blocks serially in one Python process
+(reference codec/pacfile.py:475-495).  The only sequential couplings are
+the 1024-sample MDCT framing overlap (pacfile.py:264-282) and the bit
+reservoir; everything else is independent per block.  So the natural
+multi-chip decomposition is **block-stream sharding**: each device owns a
+contiguous run of blocks, and the 50%-overlap framing needs exactly one
+1024-sample left halo from the neighbor — a single `ppermute` over ICI per
+step (the degenerate case of ring-attention-style neighbor exchange; see
+SURVEY.md §5).
+
+The per-block encode computation (pactpu.codec.engine.encode_body) runs
+unchanged inside `shard_map`; Huffman symbol statistics for distributed
+table training reduce with one `psum`.
+
+Rate control under sharding: the reference's sequential reservoir does not
+shard; each shard runs an independent reservoir over its own block run
+(rate behavior converges to the reference's as savings are redistributed
+within each shard; cross-shard redistribution would serialize the stream).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pactpu.codec.engine import encode_body, decode_body
+from pactpu.utils.config import CodecConfig
+
+BLOCK_AXIS = "blocks"
+
+
+def _shard_map(f, *, mesh, in_specs, out_specs):
+    """shard_map with replication checking off (psum'd outputs are declared
+    replicated explicitly), across jax API generations."""
+    try:
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    except (AttributeError, TypeError):
+        from jax.experimental.shard_map import shard_map as _sm
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or the given) devices, block-parallel axis."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (BLOCK_AXIS,))
+
+
+@lru_cache(maxsize=8)
+def sharded_encode_fn(cfg: CodecConfig, mesh: Mesh):
+    """jit-compiled SPMD encode step over `mesh`.
+
+    Takes globally-sharded `x f32[2, B*half]` (block-aligned signed
+    fractions, already padded so B divides the mesh) and `extra0 f32[B]`,
+    returns the engine output dict sharded on the block axis plus a
+    psum-reduced global Huffman symbol histogram (the collective the
+    distributed table trainer consumes, reference codec/Huffman.py:182-208).
+    """
+    half = cfg.n_mdct_lines
+    body = encode_body(cfg)
+    n_dev = mesh.devices.size
+
+    def step(x_local: jax.Array, extra_local: jax.Array):
+        # left halo: my last block goes to my right neighbor; shard 0's
+        # halo is the leading zero priorBlock (reference pacfile.py:264-268)
+        halo = jax.lax.ppermute(
+            x_local[:, -half:], BLOCK_AXIS,
+            [(i, (i + 1) % n_dev) for i in range(n_dev)])
+        halo = jnp.where(jax.lax.axis_index(BLOCK_AXIS) == 0,
+                         jnp.zeros_like(halo), halo)
+        y = jnp.concatenate([halo, x_local], axis=1)
+        b_local = x_local.shape[1] // half
+        idx = (jnp.arange(b_local)[:, None] * half
+               + jnp.arange(2 * half)[None, :])
+        frames = jnp.take(y, idx, axis=1).transpose(1, 0, 2)
+
+        out = body(frames, extra_local)
+
+        # distributed Huffman statistics: per-shard histogram of the unsigned
+        # mantissa symbols (untransmitted lines carry -1), all-reduced over
+        # the mesh — the collective the distributed table trainer consumes
+        syms = out["syms"].reshape(-1)
+        hist = jnp.zeros((1 << 15,), jnp.int32)
+        hist = hist.at[jnp.where(syms >= 0, syms, 0)].add(
+            jnp.where(syms >= 0, 1, 0))
+        hist = jax.lax.psum(hist, BLOCK_AXIS)
+        return out, hist
+
+    in_specs = (P(None, BLOCK_AXIS), P(BLOCK_AXIS))
+    out_specs = (P(BLOCK_AXIS), P())
+    fn = _shard_map(step, mesh=mesh, in_specs=in_specs,
+                    out_specs=out_specs)
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=8)
+def sharded_decode_fn(cfg: CodecConfig, mesh: Mesh):
+    """SPMD synthesis + overlap-add with right-halo exchange.
+
+    Each shard holds `[B_local, 2, ...]` quantized block arrays; after
+    IMDCT each shard needs the *previous* block's second half for its first
+    output block — one ppermute of [2, half] samples per boundary
+    (the decoder's overlapAndAdd carry, reference codec/pacfile.py:223-226).
+    Returns [B, 2, half] output blocks (block t = OLA of frames t-1, t; the
+    reference driver drops block 0 and appends the final flush half).
+    """
+    half = cfg.n_mdct_lines
+    body = decode_body(cfg)
+    n_dev = mesh.devices.size
+
+    def step(ba, sf, mant, overall, lrms):
+        td = body(ba, sf, mant, overall, lrms)
+        first, second = td[:, :, :half], td[:, :, half:]
+        carry = jax.lax.ppermute(
+            second[-1], BLOCK_AXIS,
+            [(i, (i + 1) % n_dev) for i in range(n_dev)])
+        carry = jnp.where(jax.lax.axis_index(BLOCK_AXIS) == 0,
+                          jnp.zeros_like(carry), carry)
+        prev_second = jnp.concatenate([carry[None], second[:-1]], axis=0)
+        return prev_second + first
+
+    fn = _shard_map(
+        step, mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS),
+                  P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        out_specs=P(BLOCK_AXIS))
+    return jax.jit(fn)
+
+
+def shard_put(arr: np.ndarray, mesh: Mesh, spec: P) -> jax.Array:
+    return jax.device_put(arr, NamedSharding(mesh, spec))
