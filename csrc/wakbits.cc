@@ -126,14 +126,20 @@ int wak_init_tables(const uint8_t* lengths, const uint32_t* codes,
 //   overall[i], table_id[i], ba[i][n_bands], sf[i][n_bands],
 //   sign/code/len[i][total_lines] (line-indexed; untransmitted lines are
 //   skipped via ba), lrms[i/2 ? same block row : ...] given per block.
+// Format selection: n_table_id_bits == 0 selects the baseline .pac layout
+// (reference codec/solution/pacfile_.py:290-305): no table id, no separate
+// sign bits, each line written as its raw `len` (= bitAlloc)-bit
+// sign-magnitude mantissa code; write_lrms == 0 omits the LRMS flags.
 // Returns total bytes written, or -1 on overflow of out_cap.
 int64_t wak_pack_file(int n_cblocks, int n_bands, const int32_t* n_lines,
                       int total_lines, int n_scale_bits, int n_mant_size_bits,
-                      int n_table_id_bits, const int32_t* overall,
+                      int n_table_id_bits, int write_lrms,
+                      const int32_t* overall,
                       const int32_t* table_id, const int32_t* ba,
                       const int32_t* sf, const int32_t* sign,
                       const int32_t* code, const int32_t* len,
                       const int32_t* lrms, uint8_t* out, int64_t out_cap) {
+  const bool huff = n_table_id_bits > 0;
   int64_t pos = 0;
   for (int i = 0; i < n_cblocks; ++i) {
     const int32_t* ba_r = ba + static_cast<int64_t>(i) * n_bands;
@@ -146,11 +152,11 @@ int64_t wak_pack_file(int n_cblocks, int n_bands, const int32_t* n_lines,
     // count payload bits
     int64_t bits = n_scale_bits + n_table_id_bits +
                    static_cast<int64_t>(n_bands) *
-                       (n_mant_size_bits + n_scale_bits + 1);
+                       (n_mant_size_bits + n_scale_bits + (write_lrms ? 1 : 0));
     int line0 = 0;
     for (int b = 0; b < n_bands; ++b) {
       if (ba_r[b]) {
-        bits += n_lines[b];  // sign bits
+        if (huff) bits += n_lines[b];  // sign bits
         for (int j = 0; j < n_lines[b]; ++j) bits += ln_r[line0 + j];
       }
       line0 += n_lines[b];
@@ -167,22 +173,26 @@ int64_t wak_pack_file(int n_cblocks, int n_bands, const int32_t* n_lines,
     std::memset(out + pos, 0, nbytes);
     BitWriter w(out + pos);
     w.write(static_cast<uint32_t>(overall[i]), n_scale_bits);
-    w.write(static_cast<uint32_t>(table_id[i]), n_table_id_bits);
+    if (huff) w.write(static_cast<uint32_t>(table_id[i]), n_table_id_bits);
     line0 = 0;
     for (int b = 0; b < n_bands; ++b) {
       int a = ba_r[b];
       w.write(static_cast<uint32_t>(a ? a - 1 : 0), n_mant_size_bits);
       w.write(static_cast<uint32_t>(sf_r[b]), n_scale_bits);
       if (a) {
-        for (int j = 0; j < n_lines[b]; ++j)
-          w.write(static_cast<uint32_t>(sg_r[line0 + j]), 1);
+        if (huff) {
+          for (int j = 0; j < n_lines[b]; ++j)
+            w.write(static_cast<uint32_t>(sg_r[line0 + j]), 1);
+        }
         for (int j = 0; j < n_lines[b]; ++j)
           w.write(static_cast<uint32_t>(cd_r[line0 + j]), ln_r[line0 + j]);
       }
       line0 += n_lines[b];
     }
-    for (int b = 0; b < n_bands; ++b)
-      w.write(static_cast<uint32_t>(lr_r[b]), 1);
+    if (write_lrms) {
+      for (int b = 0; b < n_bands; ++b)
+        w.write(static_cast<uint32_t>(lr_r[b]), 1);
+    }
     pos += nbytes;
   }
   return pos;
@@ -204,14 +214,17 @@ int64_t wak_count_blocks(const uint8_t* data, int64_t size) {
 // Parse n_cblocks channel payloads starting at `data` (past the header).
 // Outputs are row-per-channel-block arrays as in wak_pack_file; mantissas
 // are reassembled as sign * 2^(ba-1) + unsigned (reference
-// codec/pacfile.py:201-211).  Returns bytes consumed, or -(i+1) if
-// channel-block i overran its payload.
+// codec/pacfile.py:201-211).  n_table_id_bits == 0 selects the baseline
+// .pac layout (raw ba-bit mantissas, no signs/table id); read_lrms == 0
+// skips LRMS flags.  Returns bytes consumed, or -(i+1) if channel-block i
+// overran its payload.
 int64_t wak_unpack_file(const uint8_t* data, int64_t size, int n_cblocks,
                         int n_bands, const int32_t* n_lines, int total_lines,
                         int n_scale_bits, int n_mant_size_bits,
-                        int n_table_id_bits, int32_t* overall,
+                        int n_table_id_bits, int read_lrms, int32_t* overall,
                         int32_t* table_id, int32_t* ba, int32_t* sf,
                         int32_t* mant, int32_t* lrms) {
+  const bool huff = n_table_id_bits > 0;
   int64_t off = 0;
   for (int i = 0; i < n_cblocks; ++i) {
     if (off + 4 > size) return -(i + 1);
@@ -229,11 +242,16 @@ int64_t wak_unpack_file(const uint8_t* data, int64_t size, int n_cblocks,
     std::memset(mant_r, 0, sizeof(int32_t) * total_lines);
 
     overall[i] = static_cast<int32_t>(r.read(n_scale_bits));
-    int tid = static_cast<int>(r.read(n_table_id_bits));
-    table_id[i] = tid;
-    if (tid < 1 || tid > static_cast<int>(g_tables.trees.size()))
-      return -(i + 1);
-    const auto& tree = g_tables.trees[tid - 1];
+    const std::vector<Node>* tree = nullptr;
+    if (huff) {
+      int tid = static_cast<int>(r.read(n_table_id_bits));
+      table_id[i] = tid;
+      if (tid < 1 || tid > static_cast<int>(g_tables.trees.size()))
+        return -(i + 1);
+      tree = &g_tables.trees[tid - 1];
+    } else {
+      table_id[i] = 0;
+    }
 
     int line0 = 0;
     for (int b = 0; b < n_bands; ++b) {
@@ -243,24 +261,32 @@ int64_t wak_unpack_file(const uint8_t* data, int64_t size, int n_cblocks,
       sf_r[b] = static_cast<int32_t>(r.read(n_scale_bits));
       if (a) {
         int nl = n_lines[b];
-        // sign bits first, then Huffman codes (reference pacfile.py:334-342)
-        for (int j = 0; j < nl; ++j)
-          mant_r[line0 + j] = static_cast<int32_t>(r.read_bit()) << (a - 1);
-        for (int j = 0; j < nl; ++j) {
-          int cur = 0;
-          while (tree[cur].sym == -2) {
-            cur = tree[cur].child[r.read_bit()];
-            if (cur < 0 || r.overrun()) return -(i + 1);
+        if (huff) {
+          // sign bits first, then Huffman codes (ref pacfile.py:334-342)
+          for (int j = 0; j < nl; ++j)
+            mant_r[line0 + j] = static_cast<int32_t>(r.read_bit()) << (a - 1);
+          for (int j = 0; j < nl; ++j) {
+            int cur = 0;
+            while ((*tree)[cur].sym == -2) {
+              cur = (*tree)[cur].child[r.read_bit()];
+              if (cur < 0 || r.overrun()) return -(i + 1);
+            }
+            int32_t s = (*tree)[cur].sym;
+            if (s == -1) s = static_cast<int32_t>(r.read(a));  // escape
+            mant_r[line0 + j] += s;
           }
-          int32_t s = tree[cur].sym;
-          if (s == -1) s = static_cast<int32_t>(r.read(a));  // escape
-          mant_r[line0 + j] += s;
+        } else {
+          // raw sign-magnitude mantissa codes (solution/pacfile_.py:186-192)
+          for (int j = 0; j < nl; ++j)
+            mant_r[line0 + j] = static_cast<int32_t>(r.read(a));
         }
       }
       line0 += n_lines[b];
     }
-    for (int b = 0; b < n_bands; ++b)
-      lr_r[b] = static_cast<int32_t>(r.read_bit());
+    if (read_lrms) {
+      for (int b = 0; b < n_bands; ++b)
+        lr_r[b] = static_cast<int32_t>(r.read_bit());
+    }
     if (r.overrun()) return -(i + 1);
   }
   return off;

@@ -1,0 +1,163 @@
+"""Command-line driver, parity with the reference `pacfile.py` __main__
+(reference codec/pacfile.py:388-503): encode a WAV to .wak/.pac, decode
+back to WAV, report elapsed time and Huffman bits saved.
+
+Usage:
+  python -m pactpu encode  IN.wav  OUT.wak  [--rate cbr|reservoir]
+                                            [--fmt wak|pac] [--bps 2.27]
+  python -m pactpu decode  IN.wak  OUT.wav  [--fmt wak|pac]
+  python -m pactpu roundtrip IN.wav [--outdir DIR]   # reference-style
+  python -m pactpu bench  IN.wav  [--reps 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _engine(args):
+    from pactpu.codec.engine import Engine
+    from pactpu.utils.config import CodecConfig
+    cfg = CodecConfig()
+    if getattr(args, "bps", None):
+        cfg = dataclasses.replace(cfg, target_bits_per_sample=args.bps)
+    return Engine(cfg=cfg, rate_mode=getattr(args, "rate", "reservoir"),
+                  fmt=getattr(args, "fmt", "wak"))
+
+
+def _report_savings(stream: bytes, pcm_len: int, cfg, elapsed: float,
+                    what: str) -> None:
+    kbps = 8.0 * len(stream) * cfg.sample_rate / max(pcm_len, 1) / 1000.0
+    print(f"{what}: {len(stream)} bytes ({kbps:.1f} kbps total) "
+          f"in {elapsed:.2f}s")
+
+
+def cmd_encode(args) -> int:
+    from pactpu.codec.wav import read_wav
+    from pactpu.compat import refcodec as rc
+    eng = _engine(args)
+    wav = read_wav(args.input)
+    cfg = dataclasses.replace(eng.cfg, sample_rate=wav.sample_rate)
+    eng.cfg = cfg
+    t0 = time.time()
+    if eng.fmt == "wak":
+        out, b = eng.encode_arrays(wav.samples)
+        header, _ = rc.write_header(cfg, wav.num_samples)
+        stream = header + eng.pack_payload(out, b)
+        saved = int(np.sum(np.asarray(out["savings"])[:b]))
+    else:
+        stream = eng.encode(wav.samples)
+        saved = None
+    elapsed = time.time() - t0
+    with open(args.output, "wb") as f:
+        f.write(stream)
+    _report_savings(stream, wav.num_samples, cfg, elapsed, "encoded")
+    if saved is not None:
+        print(f"Huffman bits saved vs raw mantissas: {saved} "
+              f"({saved / 8 / 1024:.1f} KiB)")
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from pactpu.codec.wav import write_wav
+    eng = _engine(args)
+    with open(args.input, "rb") as f:
+        data = f.read()
+    t0 = time.time()
+    fs, pcm = eng.decode(data)
+    elapsed = time.time() - t0
+    write_wav(args.output, fs, pcm)
+    print(f"decoded: {pcm.shape[0]} samples @ {fs} Hz in {elapsed:.2f}s")
+    return 0
+
+
+def cmd_roundtrip(args) -> int:
+    """Reference-driver style: IN.wav -> coded .wak -> decoded .wav."""
+    from pactpu.codec.wav import read_wav, write_wav
+    eng = _engine(args)
+    base = os.path.splitext(os.path.basename(args.input))[0]
+    outdir = args.outdir or "."
+    os.makedirs(outdir, exist_ok=True)
+    wav = read_wav(args.input)
+    eng.cfg = dataclasses.replace(eng.cfg, sample_rate=wav.sample_rate)
+
+    t0 = time.time()
+    stream = eng.encode(wav.samples)
+    coded = os.path.join(outdir, base + ".wak")
+    with open(coded, "wb") as f:
+        f.write(stream)
+    fs, pcm = eng.decode(stream)
+    decoded = os.path.join(outdir, base + "_decoded.wav")
+    write_wav(decoded, fs, pcm)
+    elapsed = time.time() - t0
+    _report_savings(stream, wav.num_samples, eng.cfg, elapsed,
+                    f"{base}: encode+decode")
+    print(f"wrote {coded} and {decoded}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from pactpu.codec.wav import read_wav
+    eng = _engine(args)
+    wav = read_wav(args.input)
+    eng.cfg = dataclasses.replace(eng.cfg, sample_rate=wav.sample_rate)
+    eng.decode(eng.encode(wav.samples))  # warm up / compile
+    half = eng.cfg.n_mdct_lines
+    blocks = (-(-wav.num_samples // half) + 1) * args.reps
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        eng.decode(eng.encode(wav.samples))
+    dt = time.perf_counter() - t0
+    print(f"{blocks / dt:.1f} blocks/s encode+decode "
+          f"({blocks / dt * half / wav.sample_rate:.1f}x realtime)")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="pactpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    enc = sub.add_parser("encode")
+    enc.add_argument("input")
+    enc.add_argument("output")
+    enc.add_argument("--rate", choices=("cbr", "reservoir"),
+                     default="reservoir")
+    enc.add_argument("--fmt", choices=("wak", "pac"), default="wak")
+    enc.add_argument("--bps", type=float, default=None,
+                     help="target bits per sample (default 2.27)")
+    enc.set_defaults(fn=cmd_encode)
+
+    dec = sub.add_parser("decode")
+    dec.add_argument("input")
+    dec.add_argument("output")
+    dec.add_argument("--fmt", choices=("wak", "pac"), default="wak")
+    dec.set_defaults(fn=cmd_decode)
+
+    rt = sub.add_parser("roundtrip")
+    rt.add_argument("input")
+    rt.add_argument("--outdir", default=None)
+    rt.add_argument("--rate", choices=("cbr", "reservoir"),
+                    default="reservoir")
+    rt.add_argument("--fmt", choices=("wak", "pac"), default="wak")
+    rt.add_argument("--bps", type=float, default=None)
+    rt.set_defaults(fn=cmd_roundtrip)
+
+    be = sub.add_parser("bench")
+    be.add_argument("input")
+    be.add_argument("--reps", type=int, default=3)
+    be.add_argument("--rate", choices=("cbr", "reservoir"),
+                    default="reservoir")
+    be.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -135,6 +135,61 @@ def _encode_fn(cfg: CodecConfig, two_channel_chain: bool = True):
 
 
 @lru_cache(maxsize=16)
+def encode_body_baseline(cfg: CodecConfig):
+    """The baseline (solution-variant) encode: independent L/R channels,
+    mono psychoacoustics, 5-arg water-filling, raw BFP mantissas — the
+    pipeline of reference codec/solution/codec_.py:69-148 producing the
+    `.pac` layout.  `(frames f32[B, 2, 2N]) -> dict`."""
+    layout = cfg.band_layout
+    half = cfg.n_mdct_lines
+    n = 2 * half
+    fs = cfg.sample_rate
+    n_lines = np.asarray(layout.n_lines, np.int32)
+    seg = np.asarray(layout.line_to_band)
+    max_mant = min(1 << cfg.n_mant_size_bits, cfg.max_mant_bits)
+    # baseline budget: no Huffman table id field
+    # (reference solution/codec_.py:84-87)
+    budget = (cfg.target_bits_per_sample * half
+              - cfg.n_scale_bits * (layout.n_bands + 1)
+              - cfg.n_mant_size_bits * layout.n_bands)
+    sine = np.asarray(sine_window(n), np.float32)
+
+    def run(frames: jax.Array):
+        b = frames.shape[0]
+        sw = frames * sine[None, None, :]
+        lines = mdct(sw)
+        overall = q_ops.scale_factor(
+            jnp.max(jnp.abs(lines), axis=-1), cfg.n_scale_bits, 5)
+        scaled = lines * jnp.exp2(overall[..., None].astype(lines.dtype))
+
+        smr = psycho.calc_smrs(
+            sw.reshape(b * 2, n), scaled.reshape(b * 2, half),
+            overall.reshape(-1), fs, layout).reshape(b, 2, -1)
+
+        lrms = jnp.zeros((b * 2, layout.n_bands), bool)
+        bits, _ = ba_ops.water_fill(
+            jnp.full(b * 2, int(budget), jnp.int32), max_mant, n_lines,
+            smr.reshape(b * 2, -1), lrms,
+            cfg.ms_stop_threshold_db, cfg.lr_stop_threshold_db)
+        bits = bits.reshape(b, 2, -1)
+
+        peak = psycho.band_max(jnp.abs(scaled), layout, fill=0.0)
+        sf = q_ops.scale_factor(peak, cfg.n_scale_bits, bits)
+        sf_l = sf[..., seg]
+        nm_l = bits[..., seg]
+        mant = q_ops.bfp_mantissa(scaled, sf_l, cfg.n_scale_bits, nm_l)
+        return dict(overall=overall, bits=bits, sf=sf,
+                    mant=jnp.where(nm_l > 0, mant, 0), nm_l=nm_l)
+
+    return run
+
+
+@lru_cache(maxsize=16)
+def _encode_baseline_fn(cfg: CodecConfig):
+    return jax.jit(encode_body_baseline(cfg))
+
+
+@lru_cache(maxsize=16)
 def decode_body(cfg: CodecConfig):
     """Pure traceable synthesis: quantized block arrays -> pre-overlap time
     samples; see `encode_body` for the jit/shard_map split."""
@@ -205,14 +260,23 @@ def _reservoir_extras(savings: np.ndarray, leftover: np.ndarray,
 
 
 class Engine:
-    """File-level encoder/decoder around the jitted block engine."""
+    """File-level encoder/decoder around the jitted block engine.
+
+    fmt="wak" is the full coder (Huffman + M/S + reservoir, the reference
+    master branch); fmt="pac" is the baseline coder (independent L/R, raw
+    mantissas — reference codec/solution/), which reads/writes the
+    `coded/*.pac` golden artifacts.
+    """
 
     def __init__(self, cfg: Optional[CodecConfig] = None,
-                 rate_mode: str = "reservoir"):
+                 rate_mode: str = "reservoir", fmt: str = "wak"):
         self.cfg = cfg or CodecConfig()
         if rate_mode not in ("cbr", "reservoir"):
             raise ValueError(f"unknown rate mode {rate_mode!r}")
+        if fmt not in ("wak", "pac"):
+            raise ValueError(f"unknown format {fmt!r}")
         self.rate_mode = rate_mode
+        self.fmt = fmt
 
     # -- encode ----------------------------------------------------------
 
@@ -243,18 +307,46 @@ class Engine:
     def encode(self, pcm: np.ndarray) -> bytes:
         """pcm: int16 [n, 2] -> complete .wak/.pac byte stream."""
         cfg = self.cfg
-        out, b = self.encode_arrays(pcm)
+        n_lines = np.asarray(cfg.band_layout.n_lines, np.int32)
         header, _ = rc.write_header(cfg, pcm.shape[0])
 
+        if self.fmt == "pac":
+            out, b = self._encode_arrays_baseline(pcm)
+            h = lambda k: np.asarray(out[k])[:b]  # noqa: E731
+            r2 = lambda a: a.reshape(2 * b, *a.shape[2:])  # noqa: E731
+            zeros_l = np.zeros((2 * b, int(n_lines.sum())), np.int32)
+            payload = native.pack_file(
+                n_lines, cfg.n_scale_bits, cfg.n_mant_size_bits, 0,
+                r2(h("overall")), r2(h("overall")) * 0, r2(h("bits")),
+                r2(h("sf")), zeros_l, r2(h("mant")), r2(h("nm_l")),
+                np.zeros((b, cfg.n_bands), np.int32), write_lrms=False)
+            return header + payload
+
+        out, b = self.encode_arrays(pcm)
+        return header + self.pack_payload(out, b)
+
+    def pack_payload(self, out, b: int) -> bytes:
+        """Serialize jitted encode outputs (fmt='wak') to the payload bytes."""
+        cfg = self.cfg
+        n_lines = np.asarray(cfg.band_layout.n_lines, np.int32)
         h = lambda k: np.asarray(out[k])[:b]  # noqa: E731
         r2 = lambda a: a.reshape(2 * b, *a.shape[2:])  # noqa: E731
-        payload = native.pack_file(
-            np.asarray(cfg.band_layout.n_lines, np.int32),
-            cfg.n_scale_bits, cfg.n_mant_size_bits, cfg.n_table_id_bits,
+        return native.pack_file(
+            n_lines, cfg.n_scale_bits, cfg.n_mant_size_bits,
+            cfg.n_table_id_bits,
             r2(h("overall")), r2(h("tid")), r2(h("bits")), r2(h("sf")),
             r2(h("sign")), r2(h("codes")), r2(h("lens")),
             h("lrms").astype(np.int32))
-        return header + payload
+
+    def _encode_arrays_baseline(self, pcm: np.ndarray):
+        cfg = self.cfg
+        half = cfg.n_mdct_lines
+        n_blocks = -(-pcm.shape[0] // half)
+        b = n_blocks + 1
+        b_pad = _pad_blocks(b)
+        x = q_ops.pcm16_to_float(jnp.asarray(pcm.T))
+        frames = frame_blocks(x, half, b_pad - 1)
+        return _encode_baseline_fn(cfg)(frames), b
 
     # -- decode ----------------------------------------------------------
 
@@ -264,9 +356,11 @@ class Engine:
         (reference codec/pacfile.py:484-487, 171-178)."""
         cfg, _num_samples, off = rc.read_header(data)
         half = cfg.n_mdct_lines
+        huff = self.fmt == "wak"
         parsed = native.unpack_file(
             data[off:], np.asarray(cfg.band_layout.n_lines, np.int32),
-            cfg.n_scale_bits, cfg.n_mant_size_bits, cfg.n_table_id_bits)
+            cfg.n_scale_bits, cfg.n_mant_size_bits,
+            cfg.n_table_id_bits if huff else 0, read_lrms=huff)
         b = parsed["n_cblocks"] // 2
 
         def d2(a):

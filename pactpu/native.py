@@ -55,15 +55,15 @@ def _load():
         lib.wak_pack_file.restype = ctypes.c_int64
         lib.wak_pack_file.argtypes = (
             [ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int,
-             ctypes.c_int, ctypes.c_int] + [i32p] * 8
+             ctypes.c_int, ctypes.c_int, ctypes.c_int] + [i32p] * 8
             + [u8p, ctypes.c_int64])
         lib.wak_count_blocks.restype = ctypes.c_int64
         lib.wak_count_blocks.argtypes = [u8p, ctypes.c_int64]
         lib.wak_unpack_file.restype = ctypes.c_int64
         lib.wak_unpack_file.argtypes = (
             [u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int, i32p,
-             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
-            + [i32p] * 6)
+             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+             ctypes.c_int] + [i32p] * 6)
         _lib = lib
     return _lib
 
@@ -108,12 +108,13 @@ def pack_file(n_lines: np.ndarray, n_scale_bits: int, n_mant_size_bits: int,
               n_table_id_bits: int, overall: np.ndarray, table_id: np.ndarray,
               ba: np.ndarray, sf: np.ndarray, sign: np.ndarray,
               code: np.ndarray, length: np.ndarray,
-              lrms: np.ndarray) -> bytes:
+              lrms: np.ndarray, write_lrms: bool = True) -> bytes:
     """Serialize all channel-block payloads.
 
     Shapes: overall/table_id [R]; ba/sf [R, bands]; sign/code/length
     [R, total_lines]; lrms [R//2, bands] (per block).  R = 2 * n_blocks in
-    block-major, channel-minor order.
+    block-major, channel-minor order.  n_table_id_bits == 0 selects the
+    baseline .pac layout (raw mantissas in `code`/`length`, no signs).
     """
     lib = _load()
     r = int(overall.shape[0])
@@ -133,7 +134,8 @@ def pack_file(n_lines: np.ndarray, n_scale_bits: int, n_mant_size_bits: int,
     out = np.zeros(cap, np.uint8)
     n = lib.wak_pack_file(
         r, n_bands, nl_p, total_lines, n_scale_bits, n_mant_size_bits,
-        n_table_id_bits, ov_p, ti_p, ba_p, sf_p, sg_p, cd_p, ln_p, lr_p,
+        n_table_id_bits, 1 if write_lrms else 0,
+        ov_p, ti_p, ba_p, sf_p, sg_p, cd_p, ln_p, lr_p,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_int64(cap))
     if n < 0:
@@ -142,14 +144,16 @@ def pack_file(n_lines: np.ndarray, n_scale_bits: int, n_mant_size_bits: int,
 
 
 def unpack_file(payload: bytes, n_lines: np.ndarray, n_scale_bits: int,
-                n_mant_size_bits: int, n_table_id_bits: int):
+                n_mant_size_bits: int, n_table_id_bits: int,
+                read_lrms: bool = True):
     """Parse every channel-block payload in `payload` (past the header).
 
     Returns dict of arrays keyed overall/table_id/ba/sf/mant [R, ...] and
     lrms [R//2, bands], plus the parsed channel-block count R.
     """
     lib = _load()
-    init_tables()
+    if n_table_id_bits > 0:
+        init_tables()
     data = np.frombuffer(payload, np.uint8)
     dp = data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     r = int(lib.wak_count_blocks(dp, len(data)))
@@ -167,7 +171,7 @@ def unpack_file(payload: bytes, n_lines: np.ndarray, n_scale_bits: int,
     i32p = ctypes.POINTER(ctypes.c_int32)
     rc = lib.wak_unpack_file(
         dp, len(data), r, n_bands, nl_p, total_lines, n_scale_bits,
-        n_mant_size_bits, n_table_id_bits,
+        n_mant_size_bits, n_table_id_bits, 1 if read_lrms else 0,
         overall.ctypes.data_as(i32p), table_id.ctypes.data_as(i32p),
         ba.ctypes.data_as(i32p), sf.ctypes.data_as(i32p),
         mant.ctypes.data_as(i32p), lrms.ctypes.data_as(i32p))

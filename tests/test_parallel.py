@@ -1,0 +1,86 @@
+"""Sharded (8-virtual-device mesh) vs single-chip engine equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pactpu.codec.engine import encode_body, frame_blocks
+from pactpu.parallel import shard
+from pactpu.utils.config import CodecConfig
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return shard.make_mesh(jax.devices()[:8])
+
+
+def _signal(b, half, seed=3):
+    rng = np.random.default_rng(seed)
+    t = np.arange(b * half) / 44100.0
+    x = (0.3 * np.sin(2 * np.pi * 440 * t)
+         + 0.05 * rng.standard_normal(b * half))
+    return np.stack([x, 0.8 * x + 0.01 * rng.standard_normal(b * half)])
+
+
+def test_sharded_encode_matches_single_chip(mesh):
+    cfg = CodecConfig()
+    half = cfg.n_mdct_lines
+    b = 16
+    x = _signal(b, half).astype(np.float32)
+
+    xs = jax.device_put(
+        jnp.asarray(x), NamedSharding(mesh, P(None, shard.BLOCK_AXIS)))
+    extra = jax.device_put(
+        jnp.zeros(b, jnp.float32), NamedSharding(mesh, P(shard.BLOCK_AXIS)))
+    out_sh, hist = shard.sharded_encode_fn(cfg, mesh)(xs, extra)
+
+    frames = frame_blocks(jnp.asarray(x), half, b - 1)
+    out_1 = encode_body(cfg)(frames, jnp.zeros(b, jnp.float32))
+
+    for key in ("overall", "bits", "sf", "tid"):
+        np.testing.assert_array_equal(np.asarray(out_sh[key]),
+                                      np.asarray(out_1[key]), err_msg=key)
+    # mantissa-level agreement (identical f32 math, different partitioning)
+    np.testing.assert_array_equal(np.asarray(out_sh["sign"]),
+                                  np.asarray(out_1["sign"]))
+    np.testing.assert_array_equal(np.asarray(out_sh["codes"]),
+                                  np.asarray(out_1["codes"]))
+
+    # histogram = psum over shards of per-shard symbol counts
+    syms = np.asarray(out_1["syms"]).reshape(-1)
+    expect = np.bincount(syms[syms >= 0], minlength=1 << 15)
+    np.testing.assert_array_equal(np.asarray(hist), expect)
+
+
+def test_sharded_decode_ola_matches_serial(mesh):
+    cfg = CodecConfig()
+    half = cfg.n_mdct_lines
+    b = 16
+    rng = np.random.default_rng(5)
+    ba = rng.integers(0, 8, (b, 2, cfg.n_bands)).astype(np.int32)
+    ba[ba == 1] = 0
+    sf = rng.integers(0, 15, (b, 2, cfg.n_bands)).astype(np.int32)
+    seg = cfg.band_layout.line_to_band
+    nm_l = ba[..., seg]
+    mant = (rng.integers(0, 1 << 15, (b, 2, half)).astype(np.int32)
+            & ((1 << np.maximum(nm_l, 1)) - 1))
+    mant = np.where(nm_l > 0, mant, 0)
+    overall = rng.integers(0, 10, (b, 2)).astype(np.int32)
+    lrms = rng.integers(0, 2, (b, cfg.n_bands)).astype(bool)
+
+    sharding = NamedSharding(mesh, P(shard.BLOCK_AXIS))
+    args = [jax.device_put(jnp.asarray(a), sharding)
+            for a in (ba, sf, mant, overall, lrms)]
+    blocks_sh = np.asarray(shard.sharded_decode_fn(cfg, mesh)(*args))
+
+    from pactpu.codec.engine import decode_body
+    td = np.asarray(decode_body(cfg)(*[jnp.asarray(a) for a in
+                                       (ba, sf, mant, overall, lrms)]))
+    first, second = td[:, :, :half], td[:, :, half:]
+    expect = np.concatenate(
+        [np.zeros((1, 2, half), np.float32), second[:-1]], axis=0) + first
+    np.testing.assert_allclose(blocks_sh, expect, atol=1e-5)
