@@ -5,34 +5,24 @@ exercise real multi-device semantics without TPU hardware (the driver
 validates the TPU path separately via __graft_entry__.dryrun_multichip).
 
 This container injects a TPU PJRT plugin ("axon") through sitecustomize at
-interpreter start whenever PALLAS_AXON_POOL_IPS is set; once registered, any
-JAX backend init blocks on the TPU tunnel even when JAX_PLATFORMS=cpu.  The
-sitecustomize hook runs before pytest imports this file, so the only clean
-escape is to re-exec pytest once with a sanitized environment.
+interpreter start whenever PALLAS_AXON_POOL_IPS is set; register() forces
+jax_platforms to "axon".  Backends initialize lazily, so overriding the
+config back to CPU here (before any jax.devices()/jit call) is sufficient —
+and unlike an os.execve re-exec it does not orphan pytest's fd-level
+capture (which would silently swallow all test output).
 """
 
 import os
-import sys
 
-_SENTINEL = "PACTPU_TEST_REEXEC"
-
-if os.environ.get("PALLAS_AXON_POOL_IPS") and os.environ.get(_SENTINEL) != "1":
-    env = dict(os.environ)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env[_SENTINEL] = "1"
-    env["JAX_PLATFORMS"] = "cpu"
-    flags = env.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        env["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8").strip()
-    os.execve(sys.executable,
-              [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
-
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
