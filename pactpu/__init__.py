@@ -23,7 +23,36 @@ the whole analysis/synthesis pipeline as one fused, jitted computation, with
 `jax.sharding` meshes for multi-chip scaling.
 """
 
-from pactpu.utils.config import CodecConfig, default_config
+import os as _os
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache.
+
+    Compiles through this container's remote-TPU tunnel cost minutes for
+    loop-bearing programs; the persistent cache makes that a one-time cost
+    per program shape.  Opt out with PACTPU_NO_COMPILE_CACHE=1 or override
+    the location with JAX_COMPILATION_CACHE_DIR.
+    """
+    if _os.environ.get("PACTPU_NO_COMPILE_CACHE"):
+        return
+    import jax
+    if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return  # user config wins
+    path = _os.path.join(_os.path.expanduser("~"), ".cache", "pactpu",
+                         "jax_cache")
+    try:
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
+from pactpu.utils.config import CodecConfig, default_config  # noqa: E402
 
 __all__ = ["CodecConfig", "default_config"]
 __version__ = "0.1.0"

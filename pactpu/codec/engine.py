@@ -2,10 +2,24 @@
 
 Where the reference iterates 2048-sample blocks serially through Python
 (reference codec/pacfile.py:475-495), this engine frames the entire file
-into a `[B, 2, 2048]` batch and runs analysis -> psychoacoustics ->
+into `[B, 2, 2048]` chunks and runs analysis -> psychoacoustics ->
 allocation -> quantization -> Huffman selection as ONE jitted device
-computation; only the bit-serial payload serialization crosses to the host
-(native C++, pactpu/native.py).
+computation per chunk; only the bit-serial payload serialization crosses to
+the host (native C++, pactpu/native.py).
+
+Performance design points for the TPU runtime:
+
+- **Constants are program parameters.**  The MDCT cosine basis (8 MB), the
+  psychoacoustic spreading tables (12 MB) and the Huffman tables (2.6 MB)
+  are passed as jit arguments (uploaded to HBM once per process), not
+  closed-over constants — embedded constants ballooned compiled executables
+  to >40 MB, which made every compile, cache load and upload slow.
+- **Fixed chunk size.**  Files are processed in fixed-size block chunks
+  (default 512, padded), so every file of every length reuses the same
+  compiled program instead of compiling one program per length bucket.
+- **int16 on the wire.**  Chunks upload as int16 PCM frames; the
+  PCM->signed-fraction conversion runs on device.  Outputs are downcast to
+  the narrowest dtype that holds them before download.
 
 Rate-control modes (the reference's sequential bit reservoir couples block
 t to t+1, codec/Huffman.py:353-371, codec/codec.py:229):
@@ -23,14 +37,11 @@ t to t+1, codec/Huffman.py:353-371, codec/codec.py:229):
 
 In both modes channel 0's allocation leftover funds channel 1 within the
 same block, as in the reference (codec/codec.py:258-260).
-
-Block counts are padded to the next power-of-two bucket so jit caches stay
-small across files of different lengths.
 """
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 from typing import Optional
 
 import jax
@@ -38,56 +49,83 @@ import jax.numpy as jnp
 import numpy as np
 
 from pactpu import native
-from pactpu.codec import wav
 from pactpu.ops import bitalloc as ba_ops
 from pactpu.ops import huffman as huff_ops
 from pactpu.ops import psycho
 from pactpu.ops import quantize as q_ops
-from pactpu.ops.mdct import mdct, imdct
+from pactpu.ops.mdct import _mdct_basis_np, mdct, imdct
 from pactpu.ops.windows import sine_window
 from pactpu.utils.config import CodecConfig
 from pactpu.compat import refcodec as rc
+
+DEFAULT_CHUNK_BLOCKS = 512
+
+
+@lru_cache(maxsize=8)
+def engine_consts_np(cfg: CodecConfig) -> dict:
+    """The large lookup tables the jitted engine consumes, as numpy arrays
+    (device-put once per process by `Engine`): MDCT basis, psychoacoustic
+    spreading geometry, Huffman code tables."""
+    n = 2 * cfg.n_mdct_lines
+    return dict(
+        basis=_mdct_basis_np(n).astype(np.float32),
+        psy=psycho._consts(n, cfg.sample_rate),
+        tabs=huff_ops.load_tables(),
+    )
 
 
 def frame_blocks(x: jax.Array, half: int, n_blocks: int) -> jax.Array:
     """[C, n] -> [B, C, 2*half] 50%-overlap frames, including the leading
     zero priorBlock and the trailing zero flush block (reference
     codec/pacfile.py:264-282, 355-366). B = n_blocks + 1."""
-    c = x.shape[0]
     pad_to = (n_blocks + 1) * half
     y = jnp.pad(x, ((0, 0), (half, pad_to - x.shape[1])))
     idx = jnp.arange(n_blocks + 1)[:, None] * half + jnp.arange(2 * half)
     return jnp.take(y, idx, axis=1).transpose(1, 0, 2)
 
 
+def frame_blocks_np(pcm: np.ndarray, half: int, b_pad: int) -> np.ndarray:
+    """Host framing: int16 [n, C] -> int16 [b_pad, C, 2*half] 50%-overlap
+    frames (leading zero priorBlock, zero-padded tail/flush blocks)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+    c = pcm.shape[1]
+    x = np.zeros((c, (b_pad + 1) * half), np.int16)
+    n = min(pcm.shape[0], b_pad * half)
+    x[:, half:half + n] = pcm[:n].T
+    win = sliding_window_view(x, 2 * half, axis=1)[:, ::half, :]
+    return np.ascontiguousarray(win[:, :b_pad].transpose(1, 0, 2))
+
+
 @lru_cache(maxsize=16)
-def encode_body(cfg: CodecConfig, two_channel_chain: bool = True):
+def encode_body(cfg: CodecConfig, two_channel_chain: bool = True,
+                return_syms: bool = False):
     """The full per-block encode computation as a pure traceable function
-    `(frames f32[B, 2, 2N], extra0 f32[B]) -> dict of device arrays` —
-    jitted directly for single-chip use (`_encode_fn`) or wrapped in
-    `shard_map` for block-sharded multi-chip encoding
-    (pactpu.parallel.shard)."""
+    `(frames i16[B, 2, 2N], extra0 f32[B], consts) -> dict of device
+    arrays` — jitted directly for single-chip use (`_encode_fn`) or wrapped
+    in `shard_map` for block-sharded multi-chip encoding
+    (pactpu.parallel.shard).  `consts` is `engine_consts_np(cfg)` (or its
+    device-put copy)."""
     layout = cfg.band_layout
     half = cfg.n_mdct_lines
-    n = 2 * half
     fs = cfg.sample_rate
     n_lines = np.asarray(layout.n_lines, np.int32)
     seg = np.asarray(layout.line_to_band)
     max_mant = min(1 << cfg.n_mant_size_bits, cfg.max_mant_bits)
     budget = float(cfg.bit_budget())
-    sine = np.asarray(sine_window(n), np.float32)
+    sine = np.asarray(sine_window(2 * half), np.float32)
 
-    def run(frames: jax.Array, extra0: jax.Array):
-        b = frames.shape[0]
+    def run(frames_i16: jax.Array, extra0: jax.Array, consts: dict):
+        b = frames_i16.shape[0]
+        frames = q_ops.pcm16_to_float(frames_i16)
         sw = frames * sine[None, None, :]
-        lines = mdct(sw)
+        lines = mdct(sw, consts["basis"])
         overall = q_ops.scale_factor(
             jnp.max(jnp.abs(lines), axis=-1), cfg.n_scale_bits, 5)
         scaled = lines * jnp.exp2(overall[..., None].astype(lines.dtype))
 
         lrms = psycho.lrms_decision(frames, layout, cfg.ms_decision_factor)
         smr, mixed = psycho.stereo_smrs(sw, scaled, overall, lrms, fs,
-                                        layout)
+                                        layout, consts=consts["psy"])
 
         total0 = (jnp.float32(budget) + extra0.astype(jnp.float32)
                   ).astype(jnp.int32)
@@ -112,19 +150,25 @@ def encode_body(cfg: CodecConfig, two_channel_chain: bool = True):
 
         tid, codes, lens, huff_bits = huff_ops.encode_select(
             unsigned.reshape(b * 2, half), nm_l.reshape(b * 2, half),
-            transmit.reshape(b * 2, half))
+            transmit.reshape(b * 2, half), tables=consts["tabs"])
 
         raw_bits = jnp.sum(bits * n_lines[None, None, :], axis=-1)
         n_signs = jnp.sum(transmit, axis=-1)
         used = (huff_bits.reshape(b, 2) + n_signs + cfg.n_table_id_bits)
         savings = raw_bits - used
 
-        return dict(
-            overall=overall, lrms=lrms, bits=bits, sf=sf,
-            sign=jnp.where(transmit, sign, 0),
-            syms=jnp.where(transmit, unsigned, -1),
-            codes=codes.reshape(b, 2, half), lens=lens.reshape(b, 2, half),
-            tid=tid.reshape(b, 2), savings=savings, leftover=left1)
+        out = dict(
+            overall=overall.astype(jnp.int8), lrms=lrms,
+            bits=bits.astype(jnp.int8), sf=sf.astype(jnp.int8),
+            sign=jnp.where(transmit, sign, 0).astype(jnp.int8),
+            codes=codes.reshape(b, 2, half),
+            lens=lens.reshape(b, 2, half).astype(jnp.int8),
+            tid=tid.reshape(b, 2).astype(jnp.int8),
+            savings=savings.astype(jnp.int32),
+            leftover=left1.astype(jnp.int32))
+        if return_syms:
+            out["syms"] = jnp.where(transmit, unsigned, -1)
+        return out
 
     return run
 
@@ -139,7 +183,7 @@ def encode_body_baseline(cfg: CodecConfig):
     """The baseline (solution-variant) encode: independent L/R channels,
     mono psychoacoustics, 5-arg water-filling, raw BFP mantissas — the
     pipeline of reference codec/solution/codec_.py:69-148 producing the
-    `.pac` layout.  `(frames f32[B, 2, 2N]) -> dict`."""
+    `.pac` layout.  `(frames i16[B, 2, 2N], consts) -> dict`."""
     layout = cfg.band_layout
     half = cfg.n_mdct_lines
     n = 2 * half
@@ -154,17 +198,19 @@ def encode_body_baseline(cfg: CodecConfig):
               - cfg.n_mant_size_bits * layout.n_bands)
     sine = np.asarray(sine_window(n), np.float32)
 
-    def run(frames: jax.Array):
-        b = frames.shape[0]
+    def run(frames_i16: jax.Array, consts: dict):
+        b = frames_i16.shape[0]
+        frames = q_ops.pcm16_to_float(frames_i16)
         sw = frames * sine[None, None, :]
-        lines = mdct(sw)
+        lines = mdct(sw, consts["basis"])
         overall = q_ops.scale_factor(
             jnp.max(jnp.abs(lines), axis=-1), cfg.n_scale_bits, 5)
         scaled = lines * jnp.exp2(overall[..., None].astype(lines.dtype))
 
         smr = psycho.calc_smrs(
             sw.reshape(b * 2, n), scaled.reshape(b * 2, half),
-            overall.reshape(-1), fs, layout).reshape(b, 2, -1)
+            overall.reshape(-1), fs, layout,
+            consts=consts["psy"]).reshape(b, 2, -1)
 
         lrms = jnp.zeros((b * 2, layout.n_bands), bool)
         bits, _ = ba_ops.water_fill(
@@ -178,8 +224,10 @@ def encode_body_baseline(cfg: CodecConfig):
         sf_l = sf[..., seg]
         nm_l = bits[..., seg]
         mant = q_ops.bfp_mantissa(scaled, sf_l, cfg.n_scale_bits, nm_l)
-        return dict(overall=overall, bits=bits, sf=sf,
-                    mant=jnp.where(nm_l > 0, mant, 0), nm_l=nm_l)
+        return dict(overall=overall.astype(jnp.int8),
+                    bits=bits.astype(jnp.int8), sf=sf.astype(jnp.int8),
+                    mant=jnp.where(nm_l > 0, mant, 0),
+                    nm_l=nm_l.astype(jnp.int8))
 
     return run
 
@@ -199,12 +247,12 @@ def decode_body(cfg: CodecConfig):
     sine = np.asarray(sine_window(2 * half), np.float32)
 
     def run(ba: jax.Array, sf: jax.Array, mant: jax.Array,
-            overall: jax.Array, lrms: jax.Array):
+            overall: jax.Array, lrms: jax.Array, consts: dict):
         """ba/sf: i32[B, 2, bands]; mant: i32[B, 2, half];
         overall: i32[B, 2]; lrms: bool[B, bands].
         Returns pre-overlap time samples f32[B, 2, 2*half]."""
-        sf_l = sf[..., seg]
-        nm_l = ba[..., seg]
+        sf_l = sf[..., seg].astype(jnp.int32)
+        nm_l = ba[..., seg].astype(jnp.int32)
         vals = q_ops.bfp_dequantize(sf_l, mant, cfg.n_scale_bits, nm_l)
         vals = vals * jnp.exp2(-overall[..., None].astype(vals.dtype))
 
@@ -215,7 +263,7 @@ def decode_body(cfg: CodecConfig):
         out0 = jnp.where(line_ms, m - s, m)
         out1 = jnp.where(line_ms, m, s)
         lines = jnp.stack([out0, out1], axis=1)
-        return imdct(lines) * sine[None, None, :]
+        return imdct(lines, consts["basis"]) * sine[None, None, :]
 
     return run
 
@@ -225,13 +273,13 @@ def _decode_fn(cfg: CodecConfig):
     return jax.jit(decode_body(cfg))
 
 
-def _pad_blocks(b: int) -> int:
-    """Bucket the block count so jit specializations are reused: next
-    power of two (min 16)."""
+def _pad_blocks(b: int, cap: int = DEFAULT_CHUNK_BLOCKS) -> int:
+    """Bucket the block count so jit specializations are reused: next power
+    of two (min 16), capped at the streaming chunk size."""
     n = 16
-    while n < b:
+    while n < b and n < cap:
         n <<= 1
-    return n
+    return min(n, cap)
 
 
 def _reservoir_extras(savings: np.ndarray, leftover: np.ndarray,
@@ -266,10 +314,15 @@ class Engine:
     master branch); fmt="pac" is the baseline coder (independent L/R, raw
     mantissas — reference codec/solution/), which reads/writes the
     `coded/*.pac` golden artifacts.
+
+    chunk_blocks fixes the device batch size (None = adapt up to
+    DEFAULT_CHUNK_BLOCKS); all chunks of all files share one compiled
+    program per size.
     """
 
     def __init__(self, cfg: Optional[CodecConfig] = None,
-                 rate_mode: str = "reservoir", fmt: str = "wak"):
+                 rate_mode: str = "reservoir", fmt: str = "wak",
+                 chunk_blocks: Optional[int] = None):
         self.cfg = cfg or CodecConfig()
         if rate_mode not in ("cbr", "reservoir"):
             raise ValueError(f"unknown rate mode {rate_mode!r}")
@@ -277,31 +330,57 @@ class Engine:
             raise ValueError(f"unknown format {fmt!r}")
         self.rate_mode = rate_mode
         self.fmt = fmt
+        self.chunk_blocks = chunk_blocks
+        self._consts_dev = None
+
+    def consts(self) -> dict:
+        """Device-resident constant tables (uploaded once per Engine)."""
+        if self._consts_dev is None:
+            self._consts_dev = jax.device_put(engine_consts_np(self.cfg))
+        return self._consts_dev
+
+    def _chunk(self, b: int) -> int:
+        return self.chunk_blocks or _pad_blocks(b)
 
     # -- encode ----------------------------------------------------------
 
+    def _run_chunked(self, fn, frames: np.ndarray, extra: np.ndarray,
+                     consts) -> dict:
+        """Apply the jitted chunk program across all chunks and concatenate
+        outputs on the host."""
+        b_pad, chunk = frames.shape[0], self._chunk(frames.shape[0])
+        outs = []
+        for i in range(0, b_pad, chunk):
+            f = jnp.asarray(frames[i:i + chunk])
+            args = (f,) if extra is None else (
+                f, jnp.asarray(extra[i:i + chunk]))
+            outs.append(fn(*args, consts))
+        if len(outs) == 1:
+            return {k: np.asarray(v) for k, v in outs[0].items()}
+        return {k: np.concatenate([np.asarray(o[k]) for o in outs])
+                for k in outs[0]}
+
     def encode_arrays(self, pcm: np.ndarray):
-        """pcm: int16 [n, 2] -> (device outputs dict, n_blocks)."""
+        """pcm: int16 [n, 2] -> (host outputs dict, n_blocks)."""
         cfg = self.cfg
         half = cfg.n_mdct_lines
-        n = pcm.shape[0]
-        n_blocks = -(-n // half)
+        n_blocks = -(-pcm.shape[0] // half)
         b = n_blocks + 1                      # + flush block
-        b_pad = _pad_blocks(b)
+        chunk = self._chunk(b)
+        b_pad = -(-b // chunk) * chunk
 
-        x = q_ops.pcm16_to_float(jnp.asarray(pcm.T))
-        frames = frame_blocks(x, half, b_pad - 1)
+        frames = frame_blocks_np(pcm, half, b_pad)
         run = _encode_fn(cfg)
+        consts = self.consts()
 
-        extra0 = jnp.zeros(b_pad, jnp.float32)
-        out = run(frames, extra0)
+        extra0 = np.zeros(b_pad, np.float32)
+        out = self._run_chunked(run, frames, extra0, consts)
         if self.rate_mode == "reservoir":
-            savings = np.asarray(out["savings"])[:b]
-            leftover = np.asarray(out["leftover"])[:b]
             extras = np.zeros(b_pad, np.float32)
             extras[:b] = _reservoir_extras(
-                savings, leftover, cfg.reservoir_withdraw_divisor)
-            out = run(frames, jnp.asarray(extras))
+                out["savings"][:b], out["leftover"][:b],
+                cfg.reservoir_withdraw_divisor)
+            out = self._run_chunked(run, frames, extras, consts)
         return out, b
 
     def encode(self, pcm: np.ndarray) -> bytes:
@@ -326,7 +405,7 @@ class Engine:
         return header + self.pack_payload(out, b)
 
     def pack_payload(self, out, b: int) -> bytes:
-        """Serialize jitted encode outputs (fmt='wak') to the payload bytes."""
+        """Serialize encode outputs (fmt='wak') to the payload bytes."""
         cfg = self.cfg
         n_lines = np.asarray(cfg.band_layout.n_lines, np.int32)
         h = lambda k: np.asarray(out[k])[:b]  # noqa: E731
@@ -343,10 +422,12 @@ class Engine:
         half = cfg.n_mdct_lines
         n_blocks = -(-pcm.shape[0] // half)
         b = n_blocks + 1
-        b_pad = _pad_blocks(b)
-        x = q_ops.pcm16_to_float(jnp.asarray(pcm.T))
-        frames = frame_blocks(x, half, b_pad - 1)
-        return _encode_baseline_fn(cfg)(frames), b
+        chunk = self._chunk(b)
+        b_pad = -(-b // chunk) * chunk
+        frames = frame_blocks_np(pcm, half, b_pad)
+        out = self._run_chunked(_encode_baseline_fn(cfg), frames, None,
+                                self.consts())
+        return out, b
 
     # -- decode ----------------------------------------------------------
 
@@ -362,18 +443,44 @@ class Engine:
             cfg.n_scale_bits, cfg.n_mant_size_bits,
             cfg.n_table_id_bits if huff else 0, read_lrms=huff)
         b = parsed["n_cblocks"] // 2
+        chunk = self._chunk(b)
+        b_pad = -(-b // chunk) * chunk
 
-        def d2(a):
-            return a.reshape(b, 2, *a.shape[1:])
+        def d2(a, pad_value=0):
+            a = a.reshape(b, 2, *a.shape[1:])
+            if b_pad > b:
+                pad = [(0, b_pad - b)] + [(0, 0)] * (a.ndim - 1)
+                a = np.pad(a, pad, constant_values=pad_value)
+            return a
 
         run = _decode_fn(cfg)
-        td = run(jnp.asarray(d2(parsed["ba"])), jnp.asarray(d2(parsed["sf"])),
-                 jnp.asarray(d2(parsed["mant"])),
-                 jnp.asarray(d2(parsed["overall"])),
-                 jnp.asarray(parsed["lrms"] != 0))
-        first, second = td[:, :, :half], td[:, :, half:]
-        chunks = jnp.concatenate(
-            [second[:-1] + first[1:], second[-1:]], axis=0)
-        audio = chunks.transpose(1, 0, 2).reshape(2, -1)
-        pcm = np.asarray(q_ops.float_to_pcm16(audio)).T.copy()
+        consts = self.consts()
+        ba = d2(parsed["ba"])
+        sf = d2(parsed["sf"])
+        mant = d2(parsed["mant"])
+        overall = d2(parsed["overall"])
+        lrms = parsed["lrms"] != 0
+        if b_pad > b:
+            lrms = np.pad(lrms, ((0, b_pad - b), (0, 0)))
+
+        chunks_out = []
+        carry = np.zeros((2, half), np.float32)
+        for i in range(0, b_pad, chunk):
+            td = np.asarray(run(
+                jnp.asarray(ba[i:i + chunk]), jnp.asarray(sf[i:i + chunk]),
+                jnp.asarray(mant[i:i + chunk]),
+                jnp.asarray(overall[i:i + chunk]),
+                jnp.asarray(lrms[i:i + chunk]), consts))
+            first, second = td[:, :, :half], td[:, :, half:]
+            prev_second = np.concatenate([carry[None], second[:-1]], axis=0)
+            chunks_out.append(prev_second + first)
+            carry = second[-1]
+        ola = np.concatenate(chunks_out, axis=0)       # [b_pad, 2, half]
+        # reference driver: drop block 0 (MDCT delay), append the final
+        # flush half = second half of block b-1 (padded blocks decode to
+        # silence, so when b < b_pad it equals ola[b]; otherwise the carry)
+        flush = ola[b] if b < b_pad else carry
+        audio = np.concatenate([ola[1:b], flush[None]], axis=0)
+        audio = audio.transpose(1, 0, 2).reshape(2, -1)
+        pcm = np.asarray(q_ops.float_to_pcm16(jnp.asarray(audio))).T.copy()
         return cfg.sample_rate, pcm

@@ -5,13 +5,15 @@ data-dependent greedy loop: one mantissa bit per iteration to the band with
 the highest NMR residual, with a global stop test keyed to the candidate
 band's L/R-vs-M/S flag, a max-bits cap, and post-loop refund of 1-bit bands.
 
-TPU design: the loop runs as a `lax.while_loop` whose body is fully
-vectorized over a batch of R independent (block, channel) rows — every row
-performs its own masked argmax/grant per iteration and rows that finish
-simply stop changing state, so one while_loop allocates every block of an
-audio file in lockstep.  The iteration count is bounded by
-budget / min(nLines) + nBands, a few hundred for the 128 kbps operating
-point.
+TPU design: the loop runs as a fixed-trip `lax.fori_loop` whose body is
+fully vectorized over a batch of R independent (block, channel) rows —
+every row performs its own masked argmax/grant per iteration and rows that
+finish simply stop changing state, so one loop allocates every block of an
+audio file in lockstep.  The trip count is static: every iteration either
+grants a bit (at most nBands * maxMantBits grants) or invalidates a band
+(at most nBands kills), so nBands * (maxMantBits + 1) iterations always
+suffice — no data-dependent `while_loop` (which this TPU runtime executes
+pathologically slowly through its remote tunnel).
 
 Legacy allocators (Uniform / ConstSNR / ConstMNR, bitalloc.py:22-125) are
 provided as bounded `fori_loop` equivalents for API parity.
@@ -42,7 +44,7 @@ def water_fill(total_bits: jax.Array, max_mant_bits: int,
     n_lines = jnp.asarray(n_lines, jnp.int32)
     smr = smr.astype(jnp.float32)
 
-    def body(state):
+    def body(_, state):
         bits, total, valid = state
         resid = smr - 6.0 * bits.astype(jnp.float32)
         # first-index argmax among valid bands (np.argmax tie-break)
@@ -69,13 +71,13 @@ def water_fill(total_bits: jax.Array, max_mant_bits: int,
             jnp.where(kill, False, valid[row, cand]))
         return new_bits, new_total, new_valid
 
-    def cond(state):
-        return state[2].any()
-
+    # every iteration grants a bit or kills a band, so this bound is exact
+    max_iters = n_bands * (max_mant_bits + 1)
     bits0 = jnp.zeros((r, n_bands), jnp.int32)
     valid0 = jnp.ones((r, n_bands), bool)
-    bits, total, _ = jax.lax.while_loop(
-        cond, body, (bits0, jnp.asarray(total_bits, jnp.int32), valid0))
+    bits, total, _ = jax.lax.fori_loop(
+        0, max_iters, body,
+        (bits0, jnp.asarray(total_bits, jnp.int32), valid0))
 
     ones_mask = bits == 1
     refund = jnp.sum(jnp.where(ones_mask, n_lines[None], 0), axis=1)
@@ -94,27 +96,29 @@ def alloc_uniform(bit_budget: int, max_mant_bits: int,
     (reference BitAllocUniform, codec/bitalloc.py:22-57)."""
     import numpy as np
     total_lines = float(np.sum(np.asarray(n_lines)))
+    min_lines = max(1, int(np.min(np.asarray(n_lines))))
     n_lines = jnp.asarray(n_lines, jnp.int32)
     n_bands = n_lines.shape[0]
     per_line = jnp.int32(int(bit_budget / total_lines))
     alloc = jnp.full((n_bands,), per_line, jnp.int32)
     remaining = jnp.int32(bit_budget) - jnp.sum(alloc * n_lines)
 
-    def body(state):
-        alloc, remaining, line = state
+    def body(line, state):
+        alloc, remaining, stopped = state
         band = line % n_bands
         nxt = remaining - n_lines[band]
-        take = nxt >= 0
+        # the reference round-robin halts for good at the first band it
+        # cannot afford (its while-condition); carried as a sticky flag
+        stopped = stopped | (remaining <= 0) | (nxt < 0)
+        take = ~stopped
         inc = take & (alloc[band] < max_mant_bits)
         alloc = alloc.at[band].add(jnp.where(inc, 1, 0))
-        return alloc, jnp.where(take, nxt, remaining), line + 1
+        return alloc, jnp.where(take, nxt, remaining), stopped
 
-    def cond(state):
-        _, remaining, line = state
-        return (remaining > 0) & (remaining - n_lines[line % n_bands] >= 0)
-
-    alloc, _, _ = jax.lax.while_loop(
-        cond, body, (alloc, remaining, jnp.int32(0)))
+    # static trip count: each taken step spends >= min_lines bits
+    max_iters = int(bit_budget) // min_lines + int(n_bands)
+    alloc, _, _ = jax.lax.fori_loop(
+        0, max_iters, body, (alloc, remaining, jnp.bool_(False)))
     return _greedy_floor(alloc, max_mant_bits)
 
 

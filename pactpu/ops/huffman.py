@@ -41,18 +41,24 @@ def load_tables():
 
 
 def encode_select(symbols: jax.Array, line_bits: jax.Array,
-                  transmit: jax.Array):
+                  transmit: jax.Array, tables=None):
     """Best-table Huffman encode of a batch of channel-blocks.
 
     symbols:   i32[R, L] unsigned mantissa codes (sign stripped)
     line_bits: i32[R, L] the band bit allocation of each line (escape cost)
     transmit:  bool[R, L] lines actually transmitted (bitAlloc > 0)
+    tables:    optional (lengths[T, S], codes[T, S], esc_len[T], esc_code[T])
+               arrays — pass device-resident arrays so the 2.6 MB of tables
+               are program parameters, not embedded constants; also how
+               freshly trained tables (pactpu.ops.huffman_train) plug in.
 
-    Returns (table_id i32[R] in 1..10, codes i32[R, L], lengths i32[R, L],
+    Returns (table_id i32[R] in 1..T, codes i32[R, L], lengths i32[R, L],
     total_bits i32[R]).  Lengths are zero for untransmitted lines; ties in
     total length go to the lowest table id (reference Huffman.py:284-308).
     """
-    lengths_np, codes_np, esc_len_np, esc_code_np = load_tables()
+    if tables is None:
+        tables = load_tables()
+    lengths_np, codes_np, esc_len_np, esc_code_np = tables
     tab_lens = jnp.asarray(lengths_np)        # [10, S]
     tab_codes = jnp.asarray(codes_np)
     esc_len = jnp.asarray(esc_len_np)         # [10]

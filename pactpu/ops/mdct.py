@@ -47,24 +47,32 @@ def _mdct_basis(n: int, dtype_name: str) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("precision",))
-def mdct(blocks: jax.Array, precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+def mdct(blocks: jax.Array, basis: jax.Array = None,
+         precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """Forward MDCT of a batch of (already windowed) blocks.
 
     blocks: f32[..., N] -> f32[..., N/2] MDCT lines, including the reference's
     2/N forward normalization (reference codec/mdct.py:63-70).
+
+    `basis` (f32[N, N/2]) may be passed as a runtime argument so the 8 MB
+    cosine table becomes a program *parameter* (uploaded to HBM once per
+    process) instead of an embedded constant in every compiled executable.
     """
     n = blocks.shape[-1]
-    basis = _mdct_basis(n, str(blocks.dtype))
+    if basis is None:
+        basis = _mdct_basis(n, str(blocks.dtype))
     return (2.0 / n) * jnp.matmul(blocks, basis, precision=precision)
 
 
 @partial(jax.jit, static_argnames=("precision",))
-def imdct(lines: jax.Array, precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+def imdct(lines: jax.Array, basis: jax.Array = None,
+          precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """Inverse MDCT: f32[..., N/2] -> f32[..., N] time samples (x N
     normalization folded in as the reference's factor 2 on the inverse,
-    reference codec/mdct.py:72-79)."""
+    reference codec/mdct.py:72-79).  `basis` as in `mdct`."""
     half = lines.shape[-1]
-    basis = _mdct_basis(2 * half, str(lines.dtype))
+    if basis is None:
+        basis = _mdct_basis(2 * half, str(lines.dtype))
     return 2.0 * jnp.matmul(lines, basis.T, precision=precision)
 
 

@@ -115,7 +115,7 @@ def masker_levels(x: jax.Array, fs: int):
 
 
 def masked_threshold(x: jax.Array, drop_db: jax.Array, fs: int,
-                     chunk: int = 8) -> jax.Array:
+                     chunk: int = 8, consts=None) -> jax.Array:
     """Masked thresholds (SPL dB at the MDCT line frequencies) for a batch.
 
     x: f32[B, N] windowed time blocks; drop_db: f32[B] per-row tonal-masker
@@ -127,7 +127,8 @@ def masked_threshold(x: jax.Array, drop_db: jax.Array, fs: int,
     [chunk, bins, lines] expression; `chunk` bounds peak memory.
     """
     n = x.shape[-1]
-    quiet_i, base_db, posfac, _ = _consts(n, int(fs))
+    quiet_i, base_db, posfac, _ = (consts if consts is not None
+                                   else _consts(n, int(fs)))
     mspl, peak = masker_levels(x, fs)
     lev = 0.367 * jnp.maximum(mspl - 40.0, 0.0)
 
@@ -171,14 +172,15 @@ def mdct_spl(scaled_lines: jax.Array, overall_scale: jax.Array) -> jax.Array:
 
 
 def calc_smrs(sine_windowed: jax.Array, scaled_lines: jax.Array,
-              overall_scale: jax.Array, fs: int, layout) -> jax.Array:
+              overall_scale: jax.Array, fs: int, layout,
+              consts=None) -> jax.Array:
     """Mono per-band max SMR (reference CalcSMRs, psychoac.py:253-318).
 
     sine_windowed: f32[B, N]; scaled_lines: f32[B, N/2];
     overall_scale: i32[B].  Returns f32[B, n_bands].
     """
     drop = jnp.full(sine_windowed.shape[0], 15.0, jnp.float32)
-    thr = masked_threshold(sine_windowed, drop, fs)
+    thr = masked_threshold(sine_windowed, drop, fs, consts=consts)
     # the mono path divides out 2^scale *before* the SPL floor clamps
     # (reference psychoac.py:253-318), unlike the stereo path's
     # clamp-then-subtract `SPL(4X^2) - 6.02*scale`
@@ -189,7 +191,8 @@ def calc_smrs(sine_windowed: jax.Array, scaled_lines: jax.Array,
 
 
 def stereo_smrs(sine_windowed: jax.Array, scaled_lines: jax.Array,
-                overall_scale: jax.Array, lrms: jax.Array, fs: int, layout):
+                overall_scale: jax.Array, lrms: jax.Array, fs: int, layout,
+                consts=None):
     """Stereo SMRs + channel-mixed MDCT lines for a batch of blocks
     (reference getStereoMaskThreshold, codec/psychoac.py:506-682).
 
@@ -206,7 +209,7 @@ def stereo_smrs(sine_windowed: jax.Array, scaled_lines: jax.Array,
     b, _, n = sine_windowed.shape
     half = n // 2
     hann = jnp.asarray(hann_window(n), sine_windowed.dtype)
-    _, _, _, mld = _consts(n, int(fs))
+    _, _, _, mld = (consts if consts is not None else _consts(n, int(fs)))
 
     hl = hann * sine_windowed[:, 0]
     hr = hann * sine_windowed[:, 1]
@@ -219,7 +222,7 @@ def stereo_smrs(sine_windowed: jax.Array, scaled_lines: jax.Array,
     drops = jnp.broadcast_to(
         jnp.asarray([15.0, 15.0, 15.0, 15.0, 0.0, 0.0], jnp.float32),
         (b, 6)).reshape(-1)
-    thr = masked_threshold(stack.reshape(b * 6, n), drops, fs)
+    thr = masked_threshold(stack.reshape(b * 6, n), drops, fs, consts=consts)
     thr = thr.reshape(b, 6, half)
     bthr_l, bthr_r, bthr_m, bthr_s, bthr_m_mld, bthr_s_mld = (
         thr[:, i] for i in range(6))

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pactpu.codec.engine import encode_body, decode_body
+from pactpu.codec.engine import encode_body, decode_body, engine_consts_np
 from pactpu.utils.config import CodecConfig
 
 BLOCK_AXIS = "blocks"
@@ -58,17 +58,19 @@ def make_mesh(devices=None) -> Mesh:
 def sharded_encode_fn(cfg: CodecConfig, mesh: Mesh):
     """jit-compiled SPMD encode step over `mesh`.
 
-    Takes globally-sharded `x f32[2, B*half]` (block-aligned signed
-    fractions, already padded so B divides the mesh) and `extra0 f32[B]`,
-    returns the engine output dict sharded on the block axis plus a
-    psum-reduced global Huffman symbol histogram (the collective the
-    distributed table trainer consumes, reference codec/Huffman.py:182-208).
+    Takes globally-sharded `x i16[2, B*half]` (block-aligned 16-bit PCM,
+    already padded so B divides the mesh), `extra0 f32[B]`, and the
+    replicated constant tables (`engine_consts_np(cfg)`); returns the
+    engine output dict sharded on the block axis plus a psum-reduced global
+    Huffman symbol histogram (the collective the distributed table trainer
+    consumes, reference codec/Huffman.py:182-208).
     """
     half = cfg.n_mdct_lines
-    body = encode_body(cfg)
+    body = encode_body(cfg, return_syms=True)
     n_dev = mesh.devices.size
+    consts_np = engine_consts_np(cfg)
 
-    def step(x_local: jax.Array, extra_local: jax.Array):
+    def step(x_local: jax.Array, extra_local: jax.Array, consts: dict):
         # left halo: my last block goes to my right neighbor; shard 0's
         # halo is the leading zero priorBlock (reference pacfile.py:264-268)
         halo = jax.lax.ppermute(
@@ -82,19 +84,20 @@ def sharded_encode_fn(cfg: CodecConfig, mesh: Mesh):
                + jnp.arange(2 * half)[None, :])
         frames = jnp.take(y, idx, axis=1).transpose(1, 0, 2)
 
-        out = body(frames, extra_local)
+        out = body(frames, extra_local, consts)
 
         # distributed Huffman statistics: per-shard histogram of the unsigned
         # mantissa symbols (untransmitted lines carry -1), all-reduced over
         # the mesh — the collective the distributed table trainer consumes
-        syms = out["syms"].reshape(-1)
+        syms = out.pop("syms").reshape(-1)
         hist = jnp.zeros((1 << 15,), jnp.int32)
         hist = hist.at[jnp.where(syms >= 0, syms, 0)].add(
             jnp.where(syms >= 0, 1, 0))
         hist = jax.lax.psum(hist, BLOCK_AXIS)
         return out, hist
 
-    in_specs = (P(None, BLOCK_AXIS), P(BLOCK_AXIS))
+    consts_spec = jax.tree.map(lambda _: P(), consts_np)
+    in_specs = (P(None, BLOCK_AXIS), P(BLOCK_AXIS), consts_spec)
     out_specs = (P(BLOCK_AXIS), P())
     fn = _shard_map(step, mesh=mesh, in_specs=in_specs,
                     out_specs=out_specs)
@@ -115,9 +118,10 @@ def sharded_decode_fn(cfg: CodecConfig, mesh: Mesh):
     half = cfg.n_mdct_lines
     body = decode_body(cfg)
     n_dev = mesh.devices.size
+    consts_np = engine_consts_np(cfg)
 
-    def step(ba, sf, mant, overall, lrms):
-        td = body(ba, sf, mant, overall, lrms)
+    def step(ba, sf, mant, overall, lrms, consts):
+        td = body(ba, sf, mant, overall, lrms, consts)
         first, second = td[:, :, :half], td[:, :, half:]
         carry = jax.lax.ppermute(
             second[-1], BLOCK_AXIS,
@@ -127,10 +131,11 @@ def sharded_decode_fn(cfg: CodecConfig, mesh: Mesh):
         prev_second = jnp.concatenate([carry[None], second[:-1]], axis=0)
         return prev_second + first
 
+    consts_spec = jax.tree.map(lambda _: P(), consts_np)
     fn = _shard_map(
         step, mesh=mesh,
         in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS),
-                  P(BLOCK_AXIS), P(BLOCK_AXIS)),
+                  P(BLOCK_AXIS), P(BLOCK_AXIS), consts_spec),
         out_specs=P(BLOCK_AXIS))
     return jax.jit(fn)
 

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from pactpu.codec.engine import encode_body, frame_blocks
+from pactpu.codec.engine import encode_body, engine_consts_np, frame_blocks
 from pactpu.parallel import shard
 from pactpu.utils.config import CodecConfig
 
@@ -18,28 +18,39 @@ def mesh():
     return shard.make_mesh(jax.devices()[:8])
 
 
-def _signal(b, half, seed=3):
+def _signal_i16(b, half, seed=3):
     rng = np.random.default_rng(seed)
     t = np.arange(b * half) / 44100.0
     x = (0.3 * np.sin(2 * np.pi * 440 * t)
          + 0.05 * rng.standard_normal(b * half))
-    return np.stack([x, 0.8 * x + 0.01 * rng.standard_normal(b * half)])
+    y = 0.8 * x + 0.01 * rng.standard_normal(b * half)
+    pcm = np.clip(np.stack([x, y]) * 20000, -32767, 32767)
+    return pcm.astype(np.int16)
+
+
+def _replicated_consts(cfg, mesh):
+    return jax.device_put(
+        engine_consts_np(cfg),
+        jax.tree.map(lambda _: NamedSharding(mesh, P()),
+                     engine_consts_np(cfg)))
 
 
 def test_sharded_encode_matches_single_chip(mesh):
     cfg = CodecConfig()
     half = cfg.n_mdct_lines
     b = 16
-    x = _signal(b, half).astype(np.float32)
+    x = _signal_i16(b, half)
 
     xs = jax.device_put(
         jnp.asarray(x), NamedSharding(mesh, P(None, shard.BLOCK_AXIS)))
     extra = jax.device_put(
         jnp.zeros(b, jnp.float32), NamedSharding(mesh, P(shard.BLOCK_AXIS)))
-    out_sh, hist = shard.sharded_encode_fn(cfg, mesh)(xs, extra)
+    consts = _replicated_consts(cfg, mesh)
+    out_sh, hist = shard.sharded_encode_fn(cfg, mesh)(xs, extra, consts)
 
     frames = frame_blocks(jnp.asarray(x), half, b - 1)
-    out_1 = encode_body(cfg)(frames, jnp.zeros(b, jnp.float32))
+    out_1 = encode_body(cfg, return_syms=True)(
+        frames, jnp.zeros(b, jnp.float32), engine_consts_np(cfg))
 
     for key in ("overall", "bits", "sf", "tid"):
         np.testing.assert_array_equal(np.asarray(out_sh[key]),
@@ -75,11 +86,13 @@ def test_sharded_decode_ola_matches_serial(mesh):
     sharding = NamedSharding(mesh, P(shard.BLOCK_AXIS))
     args = [jax.device_put(jnp.asarray(a), sharding)
             for a in (ba, sf, mant, overall, lrms)]
-    blocks_sh = np.asarray(shard.sharded_decode_fn(cfg, mesh)(*args))
+    consts = _replicated_consts(cfg, mesh)
+    blocks_sh = np.asarray(shard.sharded_decode_fn(cfg, mesh)(*args, consts))
 
     from pactpu.codec.engine import decode_body
-    td = np.asarray(decode_body(cfg)(*[jnp.asarray(a) for a in
-                                       (ba, sf, mant, overall, lrms)]))
+    td = np.asarray(decode_body(cfg)(
+        *[jnp.asarray(a) for a in (ba, sf, mant, overall, lrms)],
+        engine_consts_np(cfg)))
     first, second = td[:, :, :half], td[:, :, half:]
     expect = np.concatenate(
         [np.zeros((1, 2, half), np.float32), second[:-1]], axis=0) + first
