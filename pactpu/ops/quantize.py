@@ -86,6 +86,55 @@ def scale_factor(a: jax.Array, n_scale_bits: int, nmant) -> jax.Array:
     return jnp.where(nmant <= 0, 0, scale).astype(jnp.int32)
 
 
+def fp_mantissa(x: jax.Array, scale: jax.Array, n_scale_bits: int,
+                nmant) -> jax.Array:
+    """Floating-point mantissa codes with hidden leading bit (int32).
+
+    Reference MantissaFP (codec/quantize.py:180-208): uniform-quantize at
+    R = nmant + L bits (L = 2^nScaleBits - 1), drop `scale` leading zeros
+    AND the hidden leading 1 when scale < L, keep nmant-1 magnitude bits +
+    sign.  The reference's Python-int shift chain
+    `(Q << (scale+1) - 2^(R-1)) << 1 >> (R-nmant+1)` reduces to the
+    int32-safe `(Q - 2^(R-scale-2)) >> (L-scale-1)`.
+    """
+    nmant = jnp.asarray(nmant, jnp.int32)
+    scale = jnp.asarray(scale, jnp.int32)
+    largest_scale = (1 << n_scale_bits) - 1
+    r = nmant + largest_scale
+    q = quantize_uniform(jnp.abs(x), r)
+    # shifts clamped to >= 0: the low branch is only selected for scale < L,
+    # but XLA evaluates both branches of the where
+    hidden = jnp.left_shift(jnp.int32(1), jnp.maximum(r - scale - 2, 0))
+    mag_low = jnp.right_shift(
+        q - hidden, jnp.maximum(largest_scale - scale - 1, 0))
+    mag = jnp.where(scale < largest_scale, mag_low, q)
+    sign_mask = jnp.left_shift(jnp.int32(1), nmant - 1)
+    code = jnp.where(jnp.signbit(x), mag + sign_mask, mag)
+    return jnp.where(nmant <= 0, 0, code)
+
+
+def fp_dequantize(scale: jax.Array, code: jax.Array, n_scale_bits: int,
+                  nmant) -> jax.Array:
+    """Inverse of fp_mantissa: restore the hidden bit when scale < L, add
+    the half-step 1 and zero-pad when scale < L-1, then uniform-dequantize
+    at R bits (reference DequantizeFP, codec/quantize.py:211-246)."""
+    nmant = jnp.asarray(nmant, jnp.int32)
+    scale = jnp.asarray(scale, jnp.int32)
+    code = code.astype(jnp.int32)
+    largest_scale = (1 << n_scale_bits) - 1
+    r = nmant + largest_scale
+    sign_mask = jnp.left_shift(jnp.int32(1), nmant - 1)
+    neg = (code & sign_mask) == sign_mask
+    mag = jnp.where(neg, code - sign_mask, code)
+    mag = jnp.where(scale < largest_scale, mag + sign_mask, mag)
+    padded = jnp.left_shift(jnp.left_shift(mag, 1) + 1,
+                            jnp.maximum(largest_scale - scale - 2, 0))
+    mag = jnp.where(scale < largest_scale - 1, padded, mag)
+    full = jnp.where(neg, mag + jnp.left_shift(jnp.int32(1), r - 1), mag)
+    val = dequantize_uniform(full, r)
+    return jnp.where(nmant <= 0, 0.0, val)
+
+
 def bfp_mantissa(x: jax.Array, scale: jax.Array, n_scale_bits: int,
                  nmant) -> jax.Array:
     """Block-floating-point sign-magnitude mantissa codes (int32).

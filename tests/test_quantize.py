@@ -5,6 +5,7 @@ randomized sweeps over all mantissa widths used by the codec.
 """
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 import pactpu.ops.quantize as q
@@ -111,3 +112,81 @@ def test_pcm16_conversions_match_reference_semantics():
     assert ref[0] == 0.0 and not np.signbit(ref[0])  # -32768 -> +0.0
     back = np.asarray(q.float_to_pcm16(ref.astype(np.float32)))
     np.testing.assert_array_equal(back, float_to_pcm16_np(ref))
+
+
+# -- floating-point (hidden-bit) quantizer ---------------------------------
+
+def _fp_mantissa_ref(a, scale, n_scale_bits=3, nmant=5):
+    """Scalar re-statement of reference MantissaFP semantics
+    (codec/quantize.py:180-208) with unbounded Python ints."""
+    if nmant <= 0:
+        return 0
+    largest = (1 << n_scale_bits) - 1
+    r = nmant + largest
+    sbm = 1 << (r - 1)
+    aa = abs(a)
+    q = (sbm - 1) if aa >= 1.0 else int(((2 ** r - 1) * aa + 1) / 2)
+    m = q << (scale + 1)
+    if scale < largest:
+        m -= 1 << (r - 1)
+        m <<= 1
+    m >>= r - nmant + 1
+    if a < 0 or (a == 0 and np.signbit(a)):
+        m += 1 << (nmant - 1)
+    return m
+
+
+def _fp_dequantize_ref(scale, m, n_scale_bits=3, nmant=5):
+    if nmant <= 0:
+        return 0.0
+    largest = (1 << n_scale_bits) - 1
+    r = nmant + largest
+    sbm = 1 << (nmant - 1)
+    sign = 1 if (m & sbm) else 0
+    m = m - sbm if sign else m
+    if scale < largest:
+        m += 1 << (nmant - 1)
+    if scale < largest - 1:
+        m = ((m << 1) + 1) << (largest - scale - 2)
+    val = 2.0 * m / (2 ** r - 1)
+    return -val if sign else val
+
+
+def test_fp_mantissa_matches_reference_semantics():
+    from pactpu.ops.quantize import fp_mantissa, fp_dequantize, scale_factor
+    vals = np.array([-0.99, -0.38, -0.10, -0.01, -0.001, 0.0,
+                     0.05, 0.28, 0.65, 0.97])
+    for nsb, nm in [(3, 5), (4, 8), (2, 3)]:
+        scales = np.asarray(scale_factor(jnp.abs(jnp.asarray(vals)),
+                                         nsb, nm))
+        got = np.asarray(fp_mantissa(jnp.asarray(vals),
+                                     jnp.asarray(scales), nsb, nm))
+        expect = [_fp_mantissa_ref(v, int(s), nsb, nm)
+                  for v, s in zip(vals, scales)]
+        np.testing.assert_array_equal(got, expect, err_msg=f"{nsb}s{nm}m")
+
+        back = np.asarray(fp_dequantize(jnp.asarray(scales),
+                                        jnp.asarray(got), nsb, nm))
+        eback = [_fp_dequantize_ref(int(s), int(m), nsb, nm)
+                 for s, m in zip(scales, got)]
+        # f32 device math: one ulp near 1.0 for the widest (R=23) format
+        np.testing.assert_allclose(back, eback, rtol=1e-6, atol=1e-7,
+                                   err_msg=f"{nsb}s{nm}m")
+
+
+def test_fp_roundtrip_precision():
+    """FP quantization error is bounded by half an LSB at the signal's own
+    scale (the point of the hidden-bit format)."""
+    from pactpu.ops.quantize import fp_mantissa, fp_dequantize, scale_factor
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1, 1, 512)
+    nsb, nm = 3, 5
+    scales = np.asarray(scale_factor(jnp.abs(jnp.asarray(x)), nsb, nm))
+    m = fp_mantissa(jnp.asarray(x), jnp.asarray(scales), nsb, nm)
+    y = np.asarray(fp_dequantize(jnp.asarray(scales), m, nsb, nm))
+    r = nm + (1 << nsb) - 1
+    largest = (1 << nsb) - 1
+    # step size of the FP grid at scale s: uniform-R step widened by the
+    # 2^(L-s) zero-padding of DequantizeFP
+    step = 2.0 / (2 ** r - 1) * 2.0 ** (largest - scales.astype(float))
+    assert np.all(np.abs(x - y) <= step * (1 + 1e-5) + 1e-7)
