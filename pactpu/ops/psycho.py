@@ -59,12 +59,14 @@ def _mld_np(f: np.ndarray) -> np.ndarray:
 
 @lru_cache(maxsize=8)
 def _consts(n: int, fs: int):
-    """Static spreading-geometry tables for window size n (n//2 lines/bins).
+    """Static per-line/per-bin vectors for window size n (n//2 lines/bins).
 
-    Everything here depends only on (n, fs): MDCT line frequencies, bark
-    distances between every (masker bin, MDCT line) pair, the -27 dB/bark
-    downward slope and the level-dependent upward-slope factor
-    (reference codec/psychoac.py:66-120).
+    Everything here depends only on (n, fs): threshold-in-quiet intensity at
+    the MDCT line frequencies, bark of the MDCT lines, bark of the FFT
+    masker bins (on the reference's Py2 integer frequency grid, Q4), and
+    the MLD weighting (reference codec/psychoac.py:44-64, 158-191, 349-372).
+    All O(n) — the [bins, lines] spreading geometry is computed on the fly
+    in `masked_threshold` from these vectors.
     """
     half = n // 2
     line_freqs = (np.arange(half, dtype=np.float64) + 0.5) / half * (fs / 2.0)
@@ -72,15 +74,11 @@ def _consts(n: int, fs: int):
     quiet_i = 10.0 ** ((_thresh_quiet_np(line_freqs) - 96.0) / 10.0)
     grid = float(int(fs) // n)                     # Q4 integer grid
     bin_bark = _bark_np(np.arange(half, dtype=np.float64) * grid)
-    dz = zvec[None, :] - bin_bark[:, None]         # [bins, lines]
-    onslope = (np.abs(dz) - 0.5) * (np.abs(dz) > 0.5)
-    base_db = -27.0 * onslope                      # data-independent part
-    posfac = (dz >= 0.0) * onslope                 # multiplies leveling
     mld = _mld_np(line_freqs)
     # cached as numpy: a device array materialized during one jit trace must
     # not leak into another (same reason as pactpu.ops.mdct._mdct_basis)
     f32 = lambda a: np.asarray(a, np.float32)  # noqa: E731
-    return (f32(quiet_i), f32(base_db), f32(posfac), f32(mld))
+    return (f32(quiet_i), f32(zvec), f32(bin_bark), f32(mld))
 
 
 def masker_levels(x: jax.Array, fs: int):
@@ -115,7 +113,7 @@ def masker_levels(x: jax.Array, fs: int):
 
 
 def masked_threshold(x: jax.Array, drop_db: jax.Array, fs: int,
-                     chunk: int = 8, consts=None) -> jax.Array:
+                     chunk: int = 16, consts=None) -> jax.Array:
     """Masked thresholds (SPL dB at the MDCT line frequencies) for a batch.
 
     x: f32[B, N] windowed time blocks; drop_db: f32[B] per-row tonal-masker
@@ -123,33 +121,59 @@ def masked_threshold(x: jax.Array, drop_db: jax.Array, fs: int,
     reference codec/psychoac.py:103-120, 409-456).
 
     The accumulation is intensity addition (alpha=1) of every masker plus
-    the threshold in quiet (psychoac.py:215-251), evaluated as a dense
-    [chunk, bins, lines] expression; `chunk` bounds peak memory.
+    the threshold in quiet (psychoac.py:215-251).  Maskers are compacted to
+    K = N/4 top-k slots first: a strict local maximum needs both neighbors
+    below it, so at most half of the N/2-2 interior bins can be peaks —
+    the compaction is *exact* and halves the dominant [maskers x lines]
+    spreading work (real audio has 40-350 peaks, see the corpus
+    measurement in the commit history).  The spreading geometry (bark
+    distance, slopes) is computed on the fly from O(N) vectors instead of
+    gathered from [bins, lines] tables; `chunk` bounds peak memory.
     """
     n = x.shape[-1]
-    quiet_i, base_db, posfac, _ = (consts if consts is not None
-                                   else _consts(n, int(fs)))
+    half = n // 2
+    k = half // 2
+    quiet_i, zvec, bin_bark, _ = (consts if consts is not None
+                                  else _consts(n, int(fs)))
+    zvec = jnp.asarray(zvec)
+    bin_bark = jnp.asarray(bin_bark)
     mspl, peak = masker_levels(x, fs)
-    lev = 0.367 * jnp.maximum(mspl - 40.0, 0.0)
+
+    # compact peaks into K slots (indices of peak bins; empty slots -> -1)
+    key = jnp.where(peak, jnp.arange(half, dtype=jnp.int32), -1)
+    idx, _ = jax.lax.top_k(key, k)                 # actually values == idx
+    valid = idx >= 0
+    safe = jnp.maximum(idx, 0)
+    mspl_k = jnp.take_along_axis(mspl, safe, axis=-1)
+    lev_k = 0.367 * jnp.maximum(mspl_k - 40.0, 0.0)
+    bark_k = bin_bark[safe]
+
+    log2_10_over_10 = jnp.float32(np.log2(10.0) / 10.0)
 
     def one_chunk(args):
-        mspl_c, lev_c, peak_c, drop_c = args
+        mspl_c, lev_c, bark_c, valid_c, drop_c = args
+        dz = zvec[None, None, :] - bark_c[:, :, None]     # [c, K, lines]
+        onslope = jnp.where(jnp.abs(dz) > 0.5, jnp.abs(dz) - 0.5, 0.0)
         s_db = (mspl_c[:, :, None] - drop_c[:, None, None]
-                + base_db[None] + lev_c[:, :, None] * posfac[None])
-        contrib = jnp.exp2(jnp.float32(np.log2(10.0) / 10.0)
-                           * (s_db - 96.0)) * peak_c[:, :, None]
+                - 27.0 * onslope
+                + jnp.where(dz >= 0.0, lev_c[:, :, None] * onslope, 0.0))
+        contrib = (jnp.exp2(log2_10_over_10 * (s_db - 96.0))
+                   * valid_c[:, :, None])
         return jnp.sum(contrib, axis=1)
 
     b = x.shape[0]
     pad = (-b) % chunk
+
     def padded(a):
         return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)).reshape(
             (b + pad) // chunk, chunk, *a.shape[1:])
-    total = jax.lax.map(one_chunk, (padded(mspl), padded(lev),
-                                    padded(peak.astype(mspl.dtype)),
+
+    total = jax.lax.map(one_chunk, (padded(mspl_k), padded(lev_k),
+                                    padded(bark_k),
+                                    padded(valid.astype(mspl.dtype)),
                                     padded(drop_db)))
     total = total.reshape(b + pad, -1)[:b]
-    return spl(quiet_i[None] + total)
+    return spl(jnp.asarray(quiet_i)[None] + total)
 
 
 def band_max(values: jax.Array, layout, fill: float = -96.0) -> jax.Array:
