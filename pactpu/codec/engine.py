@@ -41,6 +41,8 @@ same block, as in the reference (codec/codec.py:258-260).
 
 from __future__ import annotations
 
+import os
+import struct
 from functools import lru_cache
 from typing import Optional
 
@@ -50,6 +52,7 @@ import numpy as np
 
 from pactpu import native
 from pactpu.ops import bitalloc as ba_ops
+from pactpu.ops import bitpack as pack_ops
 from pactpu.ops import huffman as huff_ops
 from pactpu.ops import psycho
 from pactpu.ops import quantize as q_ops
@@ -59,6 +62,11 @@ from pactpu.utils.config import CodecConfig
 from pactpu.compat import refcodec as rc
 
 DEFAULT_CHUNK_BLOCKS = 512
+
+# u32 words per channel-block payload for the on-device packer: covers the
+# hard ceiling of 1024 lines * 16 mantissa bits + sign bits + side info
+# (~18.7 kbit) with slack; overflow falls back to the host packer.
+PACK_WORDS = 640
 
 
 @lru_cache(maxsize=8)
@@ -98,13 +106,18 @@ def frame_blocks_np(pcm: np.ndarray, half: int, b_pad: int) -> np.ndarray:
 
 @lru_cache(maxsize=16)
 def encode_body(cfg: CodecConfig, two_channel_chain: bool = True,
-                return_syms: bool = False):
+                return_syms: bool = False, pack_words: int = 0):
     """The full per-block encode computation as a pure traceable function
     `(frames i16[B, 2, 2N], extra0 f32[B], consts) -> dict of device
     arrays` — jitted directly for single-chip use (`_encode_fn`) or wrapped
     in `shard_map` for block-sharded multi-chip encoding
     (pactpu.parallel.shard).  `consts` is `engine_consts_np(cfg)` (or its
-    device-put copy)."""
+    device-put copy).
+
+    pack_words > 0 additionally runs the on-device bit packer
+    (pactpu.ops.bitpack) and returns `words` u32[B*2, pack_words] +
+    `nbits` i32[B*2] instead of the per-line sign/code/length arrays —
+    the download shrinks ~10x and the host only slices bytes."""
     layout = cfg.band_layout
     half = cfg.n_mdct_lines
     fs = cfg.sample_rate
@@ -160,12 +173,24 @@ def encode_body(cfg: CodecConfig, two_channel_chain: bool = True,
         out = dict(
             overall=overall.astype(jnp.int8), lrms=lrms,
             bits=bits.astype(jnp.int8), sf=sf.astype(jnp.int8),
-            sign=jnp.where(transmit, sign, 0).astype(jnp.int8),
-            codes=codes.reshape(b, 2, half),
-            lens=lens.reshape(b, 2, half).astype(jnp.int8),
             tid=tid.reshape(b, 2).astype(jnp.int8),
             savings=savings.astype(jnp.int32),
             leftover=left1.astype(jnp.int32))
+        if pack_words:
+            words, nbits = pack_ops.pack_payload_bits(
+                overall.reshape(b * 2), tid, bits.reshape(b * 2, -1),
+                sf.reshape(b * 2, -1),
+                jnp.where(transmit, sign, 0).reshape(b * 2, half),
+                codes.reshape(b * 2, half), lens.reshape(b * 2, half),
+                jnp.repeat(lrms.astype(jnp.int32), 2, axis=0),
+                layout.n_lines, cfg.n_scale_bits, cfg.n_mant_size_bits,
+                cfg.n_table_id_bits, pack_words)
+            out["words"] = words
+            out["nbits"] = nbits
+        else:
+            out["sign"] = jnp.where(transmit, sign, 0).astype(jnp.int8)
+            out["codes"] = codes.reshape(b, 2, half)
+            out["lens"] = lens.reshape(b, 2, half).astype(jnp.int8)
         if return_syms:
             out["syms"] = jnp.where(transmit, unsigned, -1)
         return out
@@ -174,8 +199,10 @@ def encode_body(cfg: CodecConfig, two_channel_chain: bool = True,
 
 
 @lru_cache(maxsize=16)
-def _encode_fn(cfg: CodecConfig, two_channel_chain: bool = True):
-    return jax.jit(encode_body(cfg, two_channel_chain))
+def _encode_fn(cfg: CodecConfig, two_channel_chain: bool = True,
+               pack_words: int = 0):
+    return jax.jit(encode_body(cfg, two_channel_chain,
+                               pack_words=pack_words))
 
 
 @lru_cache(maxsize=16)
@@ -322,7 +349,8 @@ class Engine:
 
     def __init__(self, cfg: Optional[CodecConfig] = None,
                  rate_mode: str = "reservoir", fmt: str = "wak",
-                 chunk_blocks: Optional[int] = None):
+                 chunk_blocks: Optional[int] = None,
+                 device_pack: Optional[bool] = None):
         self.cfg = cfg or CodecConfig()
         if rate_mode not in ("cbr", "reservoir"):
             raise ValueError(f"unknown rate mode {rate_mode!r}")
@@ -331,6 +359,9 @@ class Engine:
         self.rate_mode = rate_mode
         self.fmt = fmt
         self.chunk_blocks = chunk_blocks
+        if device_pack is None:
+            device_pack = not os.environ.get("PACTPU_NO_DEVICE_PACK")
+        self.pack_words = PACK_WORDS if (device_pack and fmt == "wak") else 0
         self._consts_dev = None
 
     def consts(self) -> dict:
@@ -370,7 +401,7 @@ class Engine:
         b_pad = -(-b // chunk) * chunk
 
         frames = frame_blocks_np(pcm, half, b_pad)
-        run = _encode_fn(cfg)
+        run = _encode_fn(cfg, pack_words=self.pack_words)
         consts = self.consts()
 
         extra0 = np.zeros(b_pad, np.float32)
@@ -381,6 +412,13 @@ class Engine:
                 out["savings"][:b], out["leftover"][:b],
                 cfg.reservoir_withdraw_divisor)
             out = self._run_chunked(run, frames, extras, consts)
+        if self.pack_words and int(out["nbits"][:2 * b].max(initial=0)) > (
+                32 * self.pack_words):
+            # payload exceeded the device packer's word budget (theoretical
+            # corner) — redo with the host serial packer
+            out = self._run_chunked(_encode_fn(cfg), frames,
+                                    extras if self.rate_mode == "reservoir"
+                                    else extra0, consts)
         return out, b
 
     def encode(self, pcm: np.ndarray) -> bytes:
@@ -407,6 +445,20 @@ class Engine:
     def pack_payload(self, out, b: int) -> bytes:
         """Serialize encode outputs (fmt='wak') to the payload bytes."""
         cfg = self.cfg
+        if "words" in out:
+            # device-packed: slice big-endian bytes per channel-block and
+            # prepend the uint32 length prefix (reference pacfile.py:314-322)
+            words = np.ascontiguousarray(out["words"][:2 * b])
+            nbits = np.asarray(out["nbits"][:2 * b], np.int64)
+            nbytes = (nbits + 7) // 8
+            row_bytes = words.astype(">u4").tobytes()
+            stride = words.shape[1] * 4
+            parts = []
+            for r in range(2 * b):
+                nb = int(nbytes[r])
+                parts.append(struct.pack("<L", nb))
+                parts.append(row_bytes[r * stride:r * stride + nb])
+            return b"".join(parts)
         n_lines = np.asarray(cfg.band_layout.n_lines, np.int32)
         h = lambda k: np.asarray(out[k])[:b]  # noqa: E731
         r2 = lambda a: a.reshape(2 * b, *a.shape[2:])  # noqa: E731

@@ -1,0 +1,134 @@
+"""On-device bitstream packing.
+
+The reference packs payload bits serially on the host
+(reference codec/bitpack.py:36-101 MSB-first `WriteBits`, driven by
+codec/pacfile.py:288-351 per channel-block).  Here the whole payload of a
+block batch is produced on the TPU:
+
+1. The payload item stream (overallScale, tableID, per band: bitAlloc-1,
+   scaleFactor, sign bits, Huffman codes; trailing LRMS flags) is a *static
+   permutation* of the concatenated field arrays — one gather.
+2. Bit offsets are an exclusive cumsum of the per-item widths.
+3. Each item contributes to at most two 32-bit words (values are < 2^30
+   bits wide); two scatter-adds assemble the MSB-first words (disjoint bit
+   ranges, so add == or).
+
+The host then just slices `ceil(nbits/8)` big-endian bytes per row and
+prepends the uint32 length prefix (pactpu.codec.engine) — byte-exact with
+the native serial packer (csrc/wakbits.cc wak_pack_file), which remains
+the reference implementation and the decode path.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=8)
+def _pack_plan(n_lines: tuple, n_scale_bits: int, n_mant_size_bits: int,
+               n_table_id_bits: int):
+    """Static stream plan for one channel-block payload.
+
+    Source vector layout (what the engine concatenates per row):
+      [overall(1), tid(1), ba_field(nb), sf(nb), sign(L), code(L), lrms(nb)]
+    Returns (perm i32[M], const_width i8[M], kind i8[M]) where kind selects
+    the width source: 0 = constant width, 1 = sign (1 bit if transmitted
+    else 0), 2 = code (dynamic length array).
+    """
+    nb = len(n_lines)
+    total = int(np.sum(n_lines))
+    lo = np.concatenate([[0], np.cumsum(n_lines)[:-1]]).astype(np.int64)
+    o_overall, o_tid = 0, 1
+    o_ba, o_sf = 2, 2 + nb
+    o_sign, o_code = 2 + 2 * nb, 2 + 2 * nb + total
+    o_lrms = 2 + 2 * nb + 2 * total
+
+    perm, cw, kind = [], [], []
+
+    def emit(src, width, k=0):
+        perm.append(src)
+        cw.append(width)
+        kind.append(k)
+
+    emit(o_overall, n_scale_bits)
+    emit(o_tid, n_table_id_bits)
+    for b in range(nb):
+        emit(o_ba + b, n_mant_size_bits)
+        emit(o_sf + b, n_scale_bits)
+        for j in range(int(n_lines[b])):
+            emit(o_sign + lo[b] + j, 1, k=1)
+        for j in range(int(n_lines[b])):
+            emit(o_code + lo[b] + j, 0, k=2)
+    for b in range(nb):
+        emit(o_lrms + b, 1)
+
+    return (np.asarray(perm, np.int32), np.asarray(cw, np.int32),
+            np.asarray(kind, np.int8))
+
+
+def pack_payload_bits(overall: jax.Array, tid: jax.Array, ba: jax.Array,
+                      sf: jax.Array, sign: jax.Array, codes: jax.Array,
+                      lens: jax.Array, lrms_row: jax.Array,
+                      n_lines: tuple, n_scale_bits: int,
+                      n_mant_size_bits: int, n_table_id_bits: int,
+                      n_words: int):
+    """Pack a batch of channel-block payloads into MSB-first u32 words.
+
+    Shapes (R = channel-blocks): overall/tid i32[R]; ba/sf i32[R, nb];
+    sign/codes/lens i32[R, L] (zeroed where untransmitted); lrms_row
+    bool/i32[R, nb] (the per-block flags, already replicated per channel).
+    Returns (words u32[R, n_words], nbits i32[R]).
+    """
+    perm, cw, kind = _pack_plan(tuple(int(x) for x in n_lines),
+                                n_scale_bits, n_mant_size_bits,
+                                n_table_id_bits)
+    r = overall.shape[0]
+    i32 = lambda a: a.astype(jnp.int32)  # noqa: E731
+    ba = i32(ba)
+    ba_field = jnp.where(ba > 0, ba - 1, 0)
+
+    seg = np.repeat(np.arange(len(n_lines), dtype=np.int64),
+                    np.asarray(n_lines, np.int64))
+    band_on = (ba > 0)[:, seg]                      # [R, L]
+    src_v = jnp.concatenate([
+        i32(overall)[:, None], i32(tid)[:, None], ba_field, i32(sf),
+        i32(sign), i32(codes), i32(lrms_row)], axis=1)
+    # width sources aligned with src_v where dynamic
+    src_w = jnp.concatenate([
+        jnp.zeros((r, 2 + 2 * ba.shape[1]), jnp.int32),
+        band_on.astype(jnp.int32), i32(lens),
+        jnp.zeros((r, ba.shape[1]), jnp.int32)], axis=1)
+
+    values = src_v[:, perm]                          # [R, M]
+    widths = jnp.where(jnp.asarray(kind)[None, :] == 0,
+                       jnp.asarray(cw)[None, :], src_w[:, perm])
+
+    ends = jnp.cumsum(widths, axis=1)
+    offs = ends - widths
+    nbits = ends[:, -1]
+
+    # each item spans word w0 (and possibly w0+1); all shift amounts are
+    # clamped to [0, 31] — XLA shifts >= the bit width are undefined even
+    # in unselected `where` branches
+    u = values.astype(jnp.uint32)
+    w0 = offs >> 5
+    sh = offs & 31
+    avail = 32 - sh                                  # bits left in word0
+    spill = jnp.maximum(widths - avail, 0)           # 0..31 (avail >= 1)
+    sh0 = jnp.clip(avail - widths, 0, 31).astype(jnp.uint32)
+    part0 = jnp.where(widths <= avail, u << sh0,
+                      u >> spill.astype(jnp.uint32))
+    mask = (jnp.uint32(1) << spill.astype(jnp.uint32)) - 1
+    sh1 = jnp.clip(32 - spill, 0, 31).astype(jnp.uint32)
+    part1 = jnp.where(spill > 0, (u & mask) << sh1, 0)
+
+    words = jnp.zeros((r, n_words), jnp.uint32)
+    rows = jnp.broadcast_to(jnp.arange(r)[:, None], w0.shape)
+    words = words.at[rows, w0].add(
+        jnp.where(widths > 0, part0, 0), mode="drop")
+    words = words.at[rows, w0 + 1].add(part1, mode="drop")
+    return words, nbits

@@ -64,3 +64,27 @@ def test_cli_roundtrip(tmp_path):
     dec = read_wav(str(tmp_path / "piano_test2_decoded.wav"))
     assert dec.sample_rate == 44100
     assert dec.num_samples > 0
+
+
+@requires_reference
+def test_device_packer_byte_exact_vs_native():
+    """The on-device bit packer produces byte-identical streams to the
+    native serial packer (csrc/wakbits.cc) on real encode outputs."""
+    wav = read_wav(f"{REFERENCE}/inputs/harpsichord.wav")
+    pcm = wav.samples[: 1024 * 40]
+    host = Engine(rate_mode="cbr", device_pack=False).encode(pcm)
+    dev = Engine(rate_mode="cbr", device_pack=True).encode(pcm)
+    assert dev == host
+
+
+def test_device_packer_roundtrip_without_reference():
+    rng = np.random.default_rng(11)
+    t = np.arange(65536) / 44100.0
+    sig = 0.4 * np.sin(2 * np.pi * 523 * t) + 0.02 * rng.standard_normal(
+        len(t))
+    pcm = np.clip(sig * 24000, -32767, 32767).astype(np.int16)
+    pcm = np.stack([pcm, np.roll(pcm, 11)], axis=1)
+    eng = Engine(rate_mode="reservoir", device_pack=True)
+    stream = eng.encode(pcm)
+    fs, out = eng.decode(stream)
+    assert fs == 44100 and out.shape[0] >= pcm.shape[0]
