@@ -206,6 +206,25 @@ def _encode_fn(cfg: CodecConfig, two_channel_chain: bool = True,
 
 
 @lru_cache(maxsize=16)
+def _chunk_encode_fn(cfg: CodecConfig, pack_words: int = 0):
+    """Chunk program taking *raw* PCM: `(pcm i16[2, (B+1)*half], extra0
+    f32[B], consts) -> out`.  The 50%-overlap framing happens on device, so
+    each chunk uploads (B+1)*half samples instead of B*2*half overlapped
+    frames — half the tunnel traffic."""
+    body = encode_body(cfg, pack_words=pack_words)
+    half = cfg.n_mdct_lines
+
+    def run(pcm: jax.Array, extra0: jax.Array, consts: dict):
+        b = pcm.shape[1] // half - 1
+        idx = (jnp.arange(b)[:, None] * half
+               + jnp.arange(2 * half)[None, :])
+        frames = jnp.take(pcm, idx, axis=1).transpose(1, 0, 2)
+        return body(frames, extra0, consts)
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=16)
 def encode_body_baseline(cfg: CodecConfig):
     """The baseline (solution-variant) encode: independent L/R channels,
     mono psychoacoustics, 5-arg water-filling, raw BFP mantissas — the
@@ -300,6 +319,30 @@ def _decode_fn(cfg: CodecConfig):
     return jax.jit(decode_body(cfg))
 
 
+@lru_cache(maxsize=16)
+def _chunk_decode_fn(cfg: CodecConfig):
+    """Compact-I/O chunk decoder: `(ba i8[B,2,nb], sf i8[B,2,nb],
+    mant u16[B,2,half], overall i8[B,2], lrms bool[B,nb],
+    carry f32[2,half], consts) -> (pcm i16[B,2,half], carry')`.
+
+    Synthesis + in-chunk overlap-add + 16-bit PCM conversion all on device;
+    `carry` chains the OLA across chunks (the decoder's overlapAndAdd
+    state, reference codec/pacfile.py:223-226)."""
+    body = decode_body(cfg)
+    half = cfg.n_mdct_lines
+
+    def run(ba, sf, mant, overall, lrms, carry, consts):
+        td = body(ba.astype(jnp.int32), sf.astype(jnp.int32),
+                  mant.astype(jnp.int32), overall.astype(jnp.int32),
+                  lrms, consts)
+        first, second = td[:, :, :half], td[:, :, half:]
+        prev_second = jnp.concatenate([carry[None], second[:-1]], axis=0)
+        ola = prev_second + first
+        return q_ops.float_to_pcm16(ola), second[-1]
+
+    return jax.jit(run)
+
+
 def _pad_blocks(b: int, cap: int = DEFAULT_CHUNK_BLOCKS) -> int:
     """Bucket the block count so jit specializations are reused: next power
     of two (min 16), capped at the streaming chunk size."""
@@ -375,24 +418,11 @@ class Engine:
 
     # -- encode ----------------------------------------------------------
 
-    def _run_chunked(self, fn, frames: np.ndarray, extra: np.ndarray,
-                     consts) -> dict:
-        """Apply the jitted chunk program across all chunks and concatenate
-        outputs on the host."""
-        b_pad, chunk = frames.shape[0], self._chunk(frames.shape[0])
-        outs = []
-        for i in range(0, b_pad, chunk):
-            f = jnp.asarray(frames[i:i + chunk])
-            args = (f,) if extra is None else (
-                f, jnp.asarray(extra[i:i + chunk]))
-            outs.append(fn(*args, consts))
-        if len(outs) == 1:
-            return {k: np.asarray(v) for k, v in outs[0].items()}
-        return {k: np.concatenate([np.asarray(o[k]) for o in outs])
-                for k in outs[0]}
-
-    def encode_arrays(self, pcm: np.ndarray):
-        """pcm: int16 [n, 2] -> (host outputs dict, n_blocks)."""
+    def _encode_chunks(self, pcm: np.ndarray):
+        """Upload each chunk's PCM once, run pass 1 (and the reservoir
+        pass 2) with all dispatches enqueued asynchronously, and return the
+        per-chunk *device* output dicts — callers download only the arrays
+        they need (the whole point on a bandwidth-limited tunnel)."""
         cfg = self.cfg
         half = cfg.n_mdct_lines
         n_blocks = -(-pcm.shape[0] // half)
@@ -400,25 +430,47 @@ class Engine:
         chunk = self._chunk(b)
         b_pad = -(-b // chunk) * chunk
 
-        frames = frame_blocks_np(pcm, half, b_pad)
-        run = _encode_fn(cfg, pack_words=self.pack_words)
-        consts = self.consts()
+        glob = np.zeros((2, (b_pad + 1) * half), np.int16)
+        n = min(pcm.shape[0], b_pad * half)
+        glob[:, half:half + n] = pcm[:n].T
+        dev = [jnp.asarray(np.ascontiguousarray(
+                   glob[:, i * half:(i + chunk + 1) * half]))
+               for i in range(0, b_pad, chunk)]
 
-        extra0 = np.zeros(b_pad, np.float32)
-        out = self._run_chunked(run, frames, extra0, consts)
+        run = _chunk_encode_fn(cfg, pack_words=self.pack_words)
+        consts = self.consts()
+        zeros = jnp.zeros(chunk, jnp.float32)
+        outs = [run(d, zeros, consts) for d in dev]
+
         if self.rate_mode == "reservoir":
+            savings = np.concatenate(
+                [np.asarray(o["savings"]) for o in outs])[:b]
+            leftover = np.concatenate(
+                [np.asarray(o["leftover"]) for o in outs])[:b]
             extras = np.zeros(b_pad, np.float32)
             extras[:b] = _reservoir_extras(
-                out["savings"][:b], out["leftover"][:b],
-                cfg.reservoir_withdraw_divisor)
-            out = self._run_chunked(run, frames, extras, consts)
-        if self.pack_words and int(out["nbits"][:2 * b].max(initial=0)) > (
-                32 * self.pack_words):
-            # payload exceeded the device packer's word budget (theoretical
-            # corner) — redo with the host serial packer
-            out = self._run_chunked(_encode_fn(cfg), frames,
-                                    extras if self.rate_mode == "reservoir"
-                                    else extra0, consts)
+                savings, leftover, cfg.reservoir_withdraw_divisor)
+            outs = [run(d, jnp.asarray(extras[i:i + chunk]), consts)
+                    for d, i in zip(dev, range(0, b_pad, chunk))]
+
+        if self.pack_words:
+            nbits_max = max(int(np.asarray(o["nbits"]).max(initial=0))
+                            for o in outs)
+            if nbits_max > 32 * self.pack_words:
+                # payload exceeded the device packer's word budget
+                # (theoretical corner) — redo with the host serial packer
+                run = _chunk_encode_fn(cfg, pack_words=0)
+                extra_src = (extras if self.rate_mode == "reservoir"
+                             else np.zeros(b_pad, np.float32))
+                outs = [run(d, jnp.asarray(extra_src[i:i + chunk]), consts)
+                        for d, i in zip(dev, range(0, b_pad, chunk))]
+        return outs, b
+
+    def encode_arrays(self, pcm: np.ndarray):
+        """pcm: int16 [n, 2] -> (host outputs dict, n_blocks)."""
+        outs, b = self._encode_chunks(pcm)
+        out = {k: np.concatenate([np.asarray(o[k]) for o in outs])
+               for k in outs[0]}
         return out, b
 
     def encode(self, pcm: np.ndarray) -> bytes:
@@ -439,26 +491,36 @@ class Engine:
                 np.zeros((b, cfg.n_bands), np.int32), write_lrms=False)
             return header + payload
 
-        out, b = self.encode_arrays(pcm)
+        outs, b = self._encode_chunks(pcm)
+        if "words" in outs[0]:
+            words = np.concatenate([np.asarray(o["words"]) for o in outs])
+            nbits = np.concatenate([np.asarray(o["nbits"]) for o in outs])
+            return header + self._assemble_device_packed(words, nbits, b)
+        out = {k: np.concatenate([np.asarray(o[k]) for o in outs])
+               for k in outs[0]}
         return header + self.pack_payload(out, b)
+
+    def _assemble_device_packed(self, words: np.ndarray, nbits: np.ndarray,
+                                b: int) -> bytes:
+        """Slice big-endian bytes per channel-block and prepend the uint32
+        length prefix (reference pacfile.py:314-322)."""
+        words = np.ascontiguousarray(words[:2 * b])
+        nbytes = (np.asarray(nbits[:2 * b], np.int64) + 7) // 8
+        row_bytes = words.astype(">u4").tobytes()
+        stride = words.shape[1] * 4
+        parts = []
+        for r in range(2 * b):
+            nb = int(nbytes[r])
+            parts.append(struct.pack("<L", nb))
+            parts.append(row_bytes[r * stride:r * stride + nb])
+        return b"".join(parts)
 
     def pack_payload(self, out, b: int) -> bytes:
         """Serialize encode outputs (fmt='wak') to the payload bytes."""
         cfg = self.cfg
         if "words" in out:
-            # device-packed: slice big-endian bytes per channel-block and
-            # prepend the uint32 length prefix (reference pacfile.py:314-322)
-            words = np.ascontiguousarray(out["words"][:2 * b])
-            nbits = np.asarray(out["nbits"][:2 * b], np.int64)
-            nbytes = (nbits + 7) // 8
-            row_bytes = words.astype(">u4").tobytes()
-            stride = words.shape[1] * 4
-            parts = []
-            for r in range(2 * b):
-                nb = int(nbytes[r])
-                parts.append(struct.pack("<L", nb))
-                parts.append(row_bytes[r * stride:r * stride + nb])
-            return b"".join(parts)
+            return self._assemble_device_packed(
+                np.asarray(out["words"]), np.asarray(out["nbits"]), b)
         n_lines = np.asarray(cfg.band_layout.n_lines, np.int32)
         h = lambda k: np.asarray(out[k])[:b]  # noqa: E731
         r2 = lambda a: a.reshape(2 * b, *a.shape[2:])  # noqa: E731
@@ -477,8 +539,12 @@ class Engine:
         chunk = self._chunk(b)
         b_pad = -(-b // chunk) * chunk
         frames = frame_blocks_np(pcm, half, b_pad)
-        out = self._run_chunked(_encode_baseline_fn(cfg), frames, None,
-                                self.consts())
+        run = _encode_baseline_fn(cfg)
+        consts = self.consts()
+        outs = [run(jnp.asarray(frames[i:i + chunk]), consts)
+                for i in range(0, b_pad, chunk)]
+        out = {k: np.concatenate([np.asarray(o[k]) for o in outs])
+               for k in outs[0]}
         return out, b
 
     # -- decode ----------------------------------------------------------
@@ -505,34 +571,35 @@ class Engine:
                 a = np.pad(a, pad, constant_values=pad_value)
             return a
 
-        run = _decode_fn(cfg)
+        run = _chunk_decode_fn(cfg)
         consts = self.consts()
-        ba = d2(parsed["ba"])
-        sf = d2(parsed["sf"])
-        mant = d2(parsed["mant"])
-        overall = d2(parsed["overall"])
+        # compact upload dtypes: ba/sf/overall fit int8, mantissa codes
+        # fit uint16 (<= 16 bits incl. sign), lrms is bool
+        ba = d2(parsed["ba"]).astype(np.int8)
+        sf = d2(parsed["sf"]).astype(np.int8)
+        mant = d2(parsed["mant"]).astype(np.uint16)
+        overall = d2(parsed["overall"]).astype(np.int8)
         lrms = parsed["lrms"] != 0
         if b_pad > b:
             lrms = np.pad(lrms, ((0, b_pad - b), (0, 0)))
 
-        chunks_out = []
-        carry = np.zeros((2, half), np.float32)
+        pcm_chunks = []
+        carry = jnp.zeros((2, half), jnp.float32)
         for i in range(0, b_pad, chunk):
-            td = np.asarray(run(
+            pcm16, carry = run(
                 jnp.asarray(ba[i:i + chunk]), jnp.asarray(sf[i:i + chunk]),
                 jnp.asarray(mant[i:i + chunk]),
                 jnp.asarray(overall[i:i + chunk]),
-                jnp.asarray(lrms[i:i + chunk]), consts))
-            first, second = td[:, :, :half], td[:, :, half:]
-            prev_second = np.concatenate([carry[None], second[:-1]], axis=0)
-            chunks_out.append(prev_second + first)
-            carry = second[-1]
-        ola = np.concatenate(chunks_out, axis=0)       # [b_pad, 2, half]
+                jnp.asarray(lrms[i:i + chunk]), carry, consts)
+            pcm_chunks.append(pcm16)
+        ola = np.concatenate([np.asarray(c) for c in pcm_chunks])[:b + 1]
         # reference driver: drop block 0 (MDCT delay), append the final
         # flush half = second half of block b-1 (padded blocks decode to
-        # silence, so when b < b_pad it equals ola[b]; otherwise the carry)
-        flush = ola[b] if b < b_pad else carry
+        # silence, so when b < b_pad it is OLA block b; otherwise the carry)
+        if b < b_pad:
+            flush = ola[b]
+        else:
+            flush = np.asarray(q_ops.float_to_pcm16(carry))
         audio = np.concatenate([ola[1:b], flush[None]], axis=0)
-        audio = audio.transpose(1, 0, 2).reshape(2, -1)
-        pcm = np.asarray(q_ops.float_to_pcm16(jnp.asarray(audio))).T.copy()
+        pcm = audio.transpose(1, 0, 2).reshape(2, -1).T.copy()
         return cfg.sample_rate, pcm
