@@ -353,16 +353,16 @@ def _pad_blocks(b: int, cap: int = DEFAULT_CHUNK_BLOCKS) -> int:
 
 
 def _reservoir_extras(savings: np.ndarray, leftover: np.ndarray,
-                      divisor: int) -> np.ndarray:
+                      divisor: int, deposit: int = 0, extra: int = 0):
     """Host replay of the reference reservoir policy over per-block pass-1
     measurements: deposit per-channel savings, withdraw 1/divisor per block
     (reference codec/Huffman.py:353-371), carry allocation leftovers
-    (codec/codec.py:229,258-260).  Returns extraBits for channel 0 of each
-    block."""
+    (codec/codec.py:229,258-260).  Returns (extraBits for channel 0 of each
+    block, final (deposit, extra) carry) — the carry is the encoder's entire
+    sequential rate-control state, so a stream can checkpoint/resume at any
+    block boundary (pactpu.codec.stream)."""
     b = savings.shape[0]
     extras = np.zeros(b, np.int64)
-    deposit = 0
-    extra = 0
     for t in range(b):
         if deposit > 10:
             w = deposit // divisor
@@ -374,7 +374,7 @@ def _reservoir_extras(savings: np.ndarray, leftover: np.ndarray,
         extras[t] = extra
         deposit += int(savings[t, 0]) + int(savings[t, 1])
         extra = int(leftover[t])
-    return extras
+    return extras, (deposit, extra)
 
 
 class Engine:
@@ -448,7 +448,7 @@ class Engine:
             leftover = np.concatenate(
                 [np.asarray(o["leftover"]) for o in outs])[:b]
             extras = np.zeros(b_pad, np.float32)
-            extras[:b] = _reservoir_extras(
+            extras[:b], _ = _reservoir_extras(
                 savings, leftover, cfg.reservoir_withdraw_divisor)
             outs = [run(d, jnp.asarray(extras[i:i + chunk]), consts)
                     for d, i in zip(dev, range(0, b_pad, chunk))]
