@@ -7,6 +7,7 @@ Usage:
                                             [--fmt wak|pac] [--bps 2.27]
   python -m pactpu decode  IN.wak  OUT.wav  [--fmt wak|pac]
   python -m pactpu roundtrip IN.wav [--outdir DIR]   # reference-style
+  python -m pactpu stats  IN.wav                     # encode statistics
   python -m pactpu bench  IN.wav  [--reps 3]
 """
 
@@ -102,6 +103,16 @@ def cmd_roundtrip(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Structured per-file encode statistics (pactpu.utils.metrics)."""
+    from pactpu.utils.metrics import encode_stats_for_file
+    stats = encode_stats_for_file(args.input,
+                                  rate_mode=getattr(args, "rate",
+                                                    "reservoir"))
+    print(stats.to_json())
+    return 0
+
+
 def cmd_bench(args) -> int:
     from pactpu.codec.wav import read_wav
     eng = _engine(args)
@@ -147,6 +158,12 @@ def main(argv=None) -> int:
     rt.add_argument("--fmt", choices=("wak", "pac"), default="wak")
     rt.add_argument("--bps", type=float, default=None)
     rt.set_defaults(fn=cmd_roundtrip)
+
+    st = sub.add_parser("stats")
+    st.add_argument("input")
+    st.add_argument("--rate", choices=("cbr", "reservoir"),
+                    default="reservoir")
+    st.set_defaults(fn=cmd_stats)
 
     be = sub.add_parser("bench")
     be.add_argument("input")

@@ -1,0 +1,171 @@
+"""Observability: structured per-block encode statistics and profiling.
+
+The reference's observability is print statements — bits saved via
+`Huffman.getBitDeposit` (reference codec/pacfile.py:439), a `'*'`
+starvation warning (codec/bitalloc.py:178), and matplotlib masking plots on
+block 1 (codec/psychoac.py:524-528).  Here the engine's device outputs are
+reduced into one structured `EncodeStats` object — per-block bit usage,
+Huffman savings, reservoir trajectory, stereo-coding decisions, table
+selection — and `device_trace` wraps `jax.profiler` for XLA-level traces
+(SURVEY.md §5 tracing/metrics).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import json
+import time
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class EncodeStats:
+    """Per-block encode statistics (arrays of length n_blocks)."""
+
+    n_blocks: int
+    bits_per_channel: np.ndarray     # i64[B, 2] payload bits (side info incl.)
+    huffman_savings: np.ndarray      # i64[B, 2] raw - coded mantissa bits
+    alloc_leftover: np.ndarray       # i64[B] unspent budget after channel 1
+    reservoir_deposit: np.ndarray    # i64[B] bitDeposit before block t
+    extra_bits: np.ndarray           # i64[B] extraBits granted to block t
+    ms_band_fraction: np.ndarray     # f64[B] fraction of bands coded M/S
+    table_id: np.ndarray             # i8[B, 2] selected Huffman table
+    mant_bits_band: np.ndarray       # f64[2, n_bands] mean mantissa bits
+    sample_rate: int
+    n_mdct_lines: int
+
+    def summary(self) -> Dict[str, float]:
+        """Aggregate view, one flat dict (JSON-friendly)."""
+        bits = self.bits_per_channel.sum()
+        dur_s = self.n_blocks * self.n_mdct_lines / self.sample_rate
+        tids, counts = np.unique(self.table_id, return_counts=True)
+        return {
+            "n_blocks": int(self.n_blocks),
+            "total_payload_bits": int(bits),
+            "mean_kbps": float(bits / max(dur_s, 1e-9) / 1000.0),
+            "huffman_bits_saved": int(self.huffman_savings.sum()),
+            "huffman_saving_pct": float(
+                100.0 * self.huffman_savings.sum()
+                / max(bits + self.huffman_savings.sum(), 1)),
+            "mean_ms_band_fraction": float(self.ms_band_fraction.mean()),
+            "reservoir_peak_bits": int(self.reservoir_deposit.max(initial=0)),
+            "extra_bits_granted": int(self.extra_bits.sum()),
+            "table_usage": {int(t): int(c) for t, c in zip(tids, counts)},
+        }
+
+    def to_json(self) -> str:
+        return json.dumps(self.summary(), sort_keys=True)
+
+
+def collect_encode_stats(out: Dict[str, np.ndarray], n_blocks: int,
+                         cfg) -> EncodeStats:
+    """Build EncodeStats from `Engine.encode_arrays` output.
+
+    Works with both the device-packed output (words/nbits carry exact
+    payload bits) and the host-pack output (bits reconstructed from the
+    allocation + code lengths)."""
+    from pactpu.codec.engine import _reservoir_extras
+
+    b = n_blocks
+    savings = np.asarray(out["savings"], np.int64)[:b]
+    leftover = np.asarray(out["leftover"], np.int64)[:b]
+    lrms = np.asarray(out["lrms"])[:b]
+    bits = np.asarray(out["bits"], np.int64)[:b]          # [B, 2, bands]
+    n_lines = np.asarray(cfg.band_layout.n_lines, np.int64)
+
+    if "nbits" in out:
+        bpc = np.asarray(out["nbits"], np.int64)[:2 * b].reshape(b, 2)
+    else:
+        lens = np.asarray(out["lens"], np.int64)[:b]      # [B, 2, lines]
+        side = (cfg.n_scale_bits * (cfg.n_bands + 1)
+                + cfg.n_mant_size_bits * cfg.n_bands
+                + cfg.n_table_id_bits + cfg.n_bands)
+        signs = (bits > 0) * n_lines[None, None, :]
+        bpc = lens.sum(-1) + signs.sum(-1) + side
+
+    # reservoir trajectory: replay the deposit/withdraw policy over the
+    # measured savings/leftovers (reference codec/Huffman.py:353-371)
+    extras, _ = _reservoir_extras(savings, leftover,
+                                  cfg.reservoir_withdraw_divisor)
+    deposit = np.zeros(b, np.int64)
+    d = 0
+    for t in range(b):
+        deposit[t] = d
+        if d > 10:
+            d -= d // cfg.reservoir_withdraw_divisor
+        elif d < 0:
+            d = 0
+        d += int(savings[t].sum())
+
+    transmit = bits > 0
+    mant_mean = np.where(transmit, bits, 0).sum(0) / np.maximum(
+        transmit.sum(0), 1)
+
+    return EncodeStats(
+        n_blocks=b,
+        bits_per_channel=bpc,
+        huffman_savings=savings,
+        alloc_leftover=leftover,
+        reservoir_deposit=deposit,
+        extra_bits=extras,
+        ms_band_fraction=lrms.mean(axis=-1).astype(np.float64),
+        table_id=np.asarray(out["tid"], np.int8)[:b],
+        mant_bits_band=mant_mean.astype(np.float64),
+        sample_rate=cfg.sample_rate,
+        n_mdct_lines=cfg.n_mdct_lines,
+    )
+
+
+class StageTimer:
+    """Wall-clock per-stage timing (the engine's host-side pipeline stages;
+    for device-internal timing use `device_trace`)."""
+
+    def __init__(self):
+        self.totals: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
+
+    @contextlib.contextmanager
+    def stage(self, name: str) -> Iterator[None]:
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.totals[name] = self.totals.get(name, 0.0) + dt
+            self.counts[name] = self.counts.get(name, 0) + 1
+
+    def report(self) -> Dict[str, Dict[str, float]]:
+        return {k: {"total_s": round(self.totals[k], 4),
+                    "calls": self.counts[k]}
+                for k in sorted(self.totals)}
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str, enabled: bool = True) -> Iterator[None]:
+    """XLA/TPU profiler trace around a region (view with TensorBoard or
+    xprof); no-op when disabled so callers can gate on a flag."""
+    if not enabled:
+        yield
+        return
+    import jax
+    with jax.profiler.trace(log_dir):
+        yield
+
+
+def encode_stats_for_file(path: str, rate_mode: str = "reservoir",
+                          cfg=None) -> EncodeStats:
+    """Convenience: WAV path -> EncodeStats (used by the CLI `stats`
+    subcommand)."""
+    import dataclasses as dc
+
+    from pactpu.codec.engine import Engine
+    from pactpu.codec.wav import read_wav
+
+    wav = read_wav(path)
+    eng = Engine(cfg=cfg, rate_mode=rate_mode)
+    eng.cfg = dc.replace(eng.cfg, sample_rate=wav.sample_rate)
+    out, b = eng.encode_arrays(wav.samples)
+    return collect_encode_stats(out, b, eng.cfg)
