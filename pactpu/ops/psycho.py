@@ -113,7 +113,8 @@ def masker_levels(x: jax.Array, fs: int):
 
 
 def masked_threshold(x: jax.Array, drop_db: jax.Array, fs: int,
-                     chunk: int = 16, consts=None) -> jax.Array:
+                     chunk: int = 16, consts=None,
+                     use_pallas=None) -> jax.Array:
     """Masked thresholds (SPL dB at the MDCT line frequencies) for a batch.
 
     x: f32[B, N] windowed time blocks; drop_db: f32[B] per-row tonal-masker
@@ -147,6 +148,15 @@ def masked_threshold(x: jax.Array, drop_db: jax.Array, fs: int,
     mspl_k = jnp.take_along_axis(mspl, safe, axis=-1)
     lev_k = 0.367 * jnp.maximum(mspl_k - 40.0, 0.0)
     bark_k = bin_bark[safe]
+
+    if use_pallas is None:
+        from pactpu.ops import pallas_ops
+        use_pallas = pallas_ops.enabled()
+    if use_pallas:
+        from pactpu.ops import pallas_ops
+        total = pallas_ops.spread_maskers(
+            mspl_k, lev_k, bark_k, valid.astype(mspl.dtype), drop_db, zvec)
+        return spl(jnp.asarray(quiet_i)[None] + total)
 
     log2_10_over_10 = jnp.float32(np.log2(10.0) / 10.0)
 

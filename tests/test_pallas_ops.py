@@ -1,0 +1,75 @@
+"""Pallas spreading kernel vs the XLA masked-threshold path.
+
+Runs the kernel in interpreter mode (CPU backend); on TPU the compiled
+kernel computes the same expression, differing only in float summation
+order.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pactpu.ops import psycho
+from pactpu.ops.pallas_ops import spread_maskers
+from pactpu.ops.windows import sine_window
+
+
+@pytest.fixture(scope="module")
+def blocks() -> np.ndarray:
+    rng = np.random.default_rng(11)
+    n = 2048
+    t = np.arange(n)
+    x = np.stack([
+        0.4 * np.sin(2 * np.pi * 441 * t / 44100.0)
+        + 0.2 * np.sin(2 * np.pi * 3000 * t / 44100.0),
+        rng.normal(0, 0.05, n),
+        0.6 * np.sin(2 * np.pi * 880 * t / 44100.0)
+        + rng.normal(0, 0.01, n),
+        np.zeros(n),
+    ]).astype(np.float32)
+    return x * sine_window(n).astype(np.float32)
+
+
+def test_spread_kernel_matches_xla_path(blocks):
+    fs = 44100
+    drop = jnp.asarray([15.0, 15.0, 0.0, 15.0], jnp.float32)
+    gold = psycho.masked_threshold(jnp.asarray(blocks), drop, fs,
+                                   use_pallas=False)
+
+    # rebuild the kernel inputs exactly as masked_threshold does
+    n = blocks.shape[-1]
+    half = n // 2
+    quiet_i, zvec, bin_bark, _ = psycho._consts(n, fs)
+    mspl, peak = psycho.masker_levels(jnp.asarray(blocks), fs)
+    import jax
+    key = jnp.where(peak, jnp.arange(half, dtype=jnp.int32), -1)
+    idx, _ = jax.lax.top_k(key, half // 2)
+    valid = idx >= 0
+    safe = jnp.maximum(idx, 0)
+    mspl_k = jnp.take_along_axis(mspl, safe, axis=-1)
+    lev_k = 0.367 * jnp.maximum(mspl_k - 40.0, 0.0)
+    bark_k = jnp.asarray(bin_bark)[safe]
+
+    total = spread_maskers(mspl_k, lev_k, bark_k,
+                           valid.astype(jnp.float32), drop,
+                           jnp.asarray(zvec), interpret=True)
+    out = psycho.spl(jnp.asarray(quiet_i)[None] + total)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(gold),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_masked_threshold_pallas_flag(blocks, monkeypatch):
+    """use_pallas=True routes through the kernel (interpret on CPU)."""
+    fs = 44100
+    drop = jnp.full(blocks.shape[0], 15.0, jnp.float32)
+    gold = psycho.masked_threshold(jnp.asarray(blocks), drop, fs,
+                                   use_pallas=False)
+    import pactpu.ops.pallas_ops as po
+    real = po.spread_maskers
+    monkeypatch.setattr(
+        po, "spread_maskers",
+        lambda *a, **k: real(*a, interpret=True, **k))
+    out = psycho.masked_threshold(jnp.asarray(blocks), drop, fs,
+                                  use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(gold),
+                               rtol=1e-5, atol=1e-4)

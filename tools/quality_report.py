@@ -1,0 +1,147 @@
+"""Corpus quality report: engine vs reference-semantics SNR at equal budget.
+
+For every reference input WAV this measures, at the same
+targetBitsPerSample operating point:
+
+  - engine roundtrip SNR (TPU engine encode -> decode vs original PCM)
+  - oracle roundtrip SNR (pactpu.compat.refcodec, the bit-exact float64
+    re-statement of the reference pipeline, vs original PCM)
+  - agreement SNR between the two decodes
+  - coded sizes (engine vs oracle streams)
+
+SNR parity with the reference pipeline at equal bit budget is the
+BASELINE.md north star.  Both decodes embed the reference's M/S aliasing
+behavior (SURVEY.md §8.1), so absolute SNR vs the original is low on wide
+stereo material for *both* coders — the delta is the signal.
+
+Usage:
+  python tools/quality_report.py [--inputs DIR] [--out QUALITY.md]
+                                 [--files a.wav b.wav] [--max-blocks N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pactpu.codec.engine import Engine               # noqa: E402
+from pactpu.codec.wav import read_wav                # noqa: E402
+from pactpu.compat import refcodec as rc             # noqa: E402
+from pactpu.utils.config import CodecConfig          # noqa: E402
+
+
+def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
+    n = min(len(ref), len(test))
+    a = ref[:n].astype(np.float64)
+    b = test[:n].astype(np.float64)
+    err = np.sum((a - b) ** 2)
+    sig = np.sum(a ** 2)
+    if err <= 0:
+        return float("inf")
+    return float(10.0 * np.log10(max(sig, 1e-12) / err))
+
+
+def measure_file(path: str, eng: Engine, cfg: CodecConfig,
+                 max_blocks: int = 0) -> dict:
+    wav = read_wav(path)
+    pcm = wav.samples
+    if max_blocks:
+        pcm = pcm[: max_blocks * cfg.n_mdct_lines]
+    n = pcm.shape[0]
+
+    t0 = time.perf_counter()
+    stream_e = eng.encode(pcm)
+    _, dec_e = eng.decode(stream_e)
+    t_engine = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    stream_o = rc.encode_file(pcm, cfg.sample_rate, cfg)
+    _, dec_o = rc.decode_file(stream_o)
+    t_oracle = time.perf_counter() - t0
+
+    return dict(
+        name=os.path.basename(path),
+        n_samples=n,
+        engine_snr=snr_db(pcm.reshape(-1), dec_e.reshape(-1)),
+        oracle_snr=snr_db(pcm.reshape(-1), dec_o.reshape(-1)),
+        agree_snr=snr_db(dec_o.reshape(-1), dec_e.reshape(-1)),
+        engine_bytes=len(stream_e),
+        oracle_bytes=len(stream_o),
+        t_engine=t_engine,
+        t_oracle=t_oracle,
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--inputs", default="/root/reference/inputs")
+    ap.add_argument("--out", default="QUALITY.md")
+    ap.add_argument("--files", nargs="*", default=None)
+    ap.add_argument("--max-blocks", type=int, default=0,
+                    help="limit each file to N blocks (0 = whole file)")
+    args = ap.parse_args()
+
+    cfg = CodecConfig()
+    eng = Engine(cfg=cfg, rate_mode="reservoir")
+    names = args.files or sorted(
+        f for f in os.listdir(args.inputs) if f.endswith(".wav"))
+
+    rows = []
+    for name in names:
+        path = os.path.join(args.inputs, name)
+        try:
+            row = measure_file(path, eng, cfg, args.max_blocks)
+        except Exception as e:  # keep going; report the failure
+            row = dict(name=name, error=str(e))
+        rows.append(row)
+        if "error" in row:
+            print(f"{name}: ERROR {row['error']}", flush=True)
+        else:
+            print(f"{name}: engine {row['engine_snr']:.2f} dB, "
+                  f"oracle {row['oracle_snr']:.2f} dB, "
+                  f"agree {row['agree_snr']:.2f} dB, "
+                  f"bytes {row['engine_bytes']}/{row['oracle_bytes']}, "
+                  f"{row['t_oracle']/max(row['t_engine'],1e-9):.1f}x faster",
+                  flush=True)
+
+    ok = [r for r in rows if "error" not in r]
+    with open(args.out, "w") as f:
+        f.write("# QUALITY — engine vs reference-semantics oracle\n\n")
+        f.write(f"Operating point: {cfg.target_bits_per_sample} bits/sample"
+                f" (~{cfg.target_bits_per_sample*44.1:.0f} kbps/ch), "
+                "reservoir rate control, full Huffman+M/S path. "
+                "SNR in dB vs the original PCM; 'agree' compares the two "
+                "decodes. Both embed the reference M/S aliasing behavior "
+                "(SURVEY.md §8.1), so parity, not absolute SNR, is the "
+                "bar (BASELINE.md).\n\n")
+        f.write("| input | engine SNR | oracle SNR | Δ | agree | "
+                "engine bytes | oracle bytes | speedup |\n")
+        f.write("|---|---|---|---|---|---|---|---|\n")
+        for r in rows:
+            if "error" in r:
+                f.write(f"| {r['name']} | ERROR: {r['error']} | | | | | | |\n")
+                continue
+            f.write(
+                f"| {r['name']} | {r['engine_snr']:.2f} | "
+                f"{r['oracle_snr']:.2f} | "
+                f"{r['engine_snr']-r['oracle_snr']:+.2f} | "
+                f"{r['agree_snr']:.2f} | {r['engine_bytes']} | "
+                f"{r['oracle_bytes']} | "
+                f"{r['t_oracle']/max(r['t_engine'],1e-9):.1f}x |\n")
+        if ok:
+            d = np.asarray([r["engine_snr"] - r["oracle_snr"] for r in ok])
+            f.write(f"\nMean ΔSNR (engine − oracle): {d.mean():+.2f} dB over "
+                    f"{len(ok)} files (min {d.min():+.2f}, "
+                    f"max {d.max():+.2f}).\n")
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
