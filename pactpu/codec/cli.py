@@ -19,8 +19,6 @@ import os
 import sys
 import time
 
-import numpy as np
-
 
 def _engine(args):
     from pactpu.codec.engine import Engine
@@ -41,20 +39,13 @@ def _report_savings(stream: bytes, pcm_len: int, cfg, elapsed: float,
 
 def cmd_encode(args) -> int:
     from pactpu.codec.wav import read_wav
-    from pactpu.compat import refcodec as rc
     eng = _engine(args)
     wav = read_wav(args.input)
     cfg = dataclasses.replace(eng.cfg, sample_rate=wav.sample_rate)
     eng.cfg = cfg
     t0 = time.time()
-    if eng.fmt == "wak":
-        out, b = eng.encode_arrays(wav.samples)
-        header, _ = rc.write_header(cfg, wav.num_samples)
-        stream = header + eng.pack_payload(out, b)
-        saved = int(np.sum(np.asarray(out["savings"])[:b]))
-    else:
-        stream = eng.encode(wav.samples)
-        saved = None
+    stream = eng.encode(wav.samples)
+    saved = eng.last_savings if eng.fmt == "wak" else None
     elapsed = time.time() - t0
     with open(args.output, "wb") as f:
         f.write(stream)

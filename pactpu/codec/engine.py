@@ -63,10 +63,17 @@ from pactpu.compat import refcodec as rc
 
 DEFAULT_CHUNK_BLOCKS = 512
 
-# u32 words per channel-block payload for the on-device packer: covers the
-# hard ceiling of 1024 lines * 16 mantissa bits + sign bits + side info
-# (~18.7 kbit) with slack; overflow falls back to the host packer.
-PACK_WORDS = 640
+# u32 words per channel-block payload for the on-device packer.  Sized for
+# the real operating range (2.27 bits/sample budget + side info + escape
+# slack = ~3.2 kbit < 4096 bits), NOT the theoretical ceiling (~18.7 kbit):
+# the words buffer is downloaded through a ~20 MB/s tunnel, so padding is
+# the dominant cost.  Payloads legitimately exceed this after long quiet
+# passages (the reference's leftover chaining hands the next block the
+# whole unspent budget) — a chunk containing such a block is transparently
+# re-encoded with the wide packer, and past even that, the host packer
+# (Engine._chunk_payload).
+PACK_WORDS = 128
+PACK_WORDS_MAX = 640  # theoretical ceiling incl. all-escape worst case
 
 
 @lru_cache(maxsize=8)
@@ -106,7 +113,8 @@ def frame_blocks_np(pcm: np.ndarray, half: int, b_pad: int) -> np.ndarray:
 
 @lru_cache(maxsize=16)
 def encode_body(cfg: CodecConfig, two_channel_chain: bool = True,
-                return_syms: bool = False, pack_words: int = 0):
+                return_syms: bool = False, pack_words: int = 0,
+                measure_only: bool = False):
     """The full per-block encode computation as a pure traceable function
     `(frames i16[B, 2, 2N], extra0 f32[B], consts) -> dict of device
     arrays` — jitted directly for single-chip use (`_encode_fn`) or wrapped
@@ -117,7 +125,12 @@ def encode_body(cfg: CodecConfig, two_channel_chain: bool = True,
     pack_words > 0 additionally runs the on-device bit packer
     (pactpu.ops.bitpack) and returns `words` u32[B*2, pack_words] +
     `nbits` i32[B*2] instead of the per-line sign/code/length arrays —
-    the download shrinks ~10x and the host only slices bytes."""
+    the download shrinks ~10x and the host only slices bytes.
+
+    measure_only returns just (savings, leftover) — the reservoir pass-1
+    measurement; XLA dead-code-eliminates the payload serialization
+    (scale factors, code gather, packer), cutting the pass-1 program by
+    roughly a third."""
     layout = cfg.band_layout
     half = cfg.n_mdct_lines
     fs = cfg.sample_rate
@@ -170,6 +183,10 @@ def encode_body(cfg: CodecConfig, two_channel_chain: bool = True,
         used = (huff_bits.reshape(b, 2) + n_signs + cfg.n_table_id_bits)
         savings = raw_bits - used
 
+        if measure_only:
+            return dict(savings=savings.astype(jnp.int32),
+                        leftover=left1.astype(jnp.int32))
+
         out = dict(
             overall=overall.astype(jnp.int8), lrms=lrms,
             bits=bits.astype(jnp.int8), sf=sf.astype(jnp.int8),
@@ -206,12 +223,14 @@ def _encode_fn(cfg: CodecConfig, two_channel_chain: bool = True,
 
 
 @lru_cache(maxsize=16)
-def _chunk_encode_fn(cfg: CodecConfig, pack_words: int = 0):
+def _chunk_encode_fn(cfg: CodecConfig, pack_words: int = 0,
+                     measure_only: bool = False):
     """Chunk program taking *raw* PCM: `(pcm i16[2, (B+1)*half], extra0
     f32[B], consts) -> out`.  The 50%-overlap framing happens on device, so
     each chunk uploads (B+1)*half samples instead of B*2*half overlapped
     frames — half the tunnel traffic."""
-    body = encode_body(cfg, pack_words=pack_words)
+    body = encode_body(cfg, pack_words=pack_words,
+                       measure_only=measure_only)
     half = cfg.n_mdct_lines
 
     def run(pcm: jax.Array, extra0: jax.Array, consts: dict):
@@ -406,6 +425,7 @@ class Engine:
             device_pack = not os.environ.get("PACTPU_NO_DEVICE_PACK")
         self.pack_words = PACK_WORDS if (device_pack and fmt == "wak") else 0
         self._consts_dev = None
+        self.last_savings = None  # Huffman bits saved by the last encode()
 
     def consts(self) -> dict:
         """Device-resident constant tables (uploaded once per Engine)."""
@@ -420,9 +440,10 @@ class Engine:
 
     def _encode_chunks(self, pcm: np.ndarray):
         """Upload each chunk's PCM once, run pass 1 (and the reservoir
-        pass 2) with all dispatches enqueued asynchronously, and return the
-        per-chunk *device* output dicts — callers download only the arrays
-        they need (the whole point on a bandwidth-limited tunnel)."""
+        pass 2) with all dispatches enqueued asynchronously, and return
+        (per-chunk device output dicts, n_blocks, device pcm chunks,
+        extras, chunk) — callers download only the arrays they need (the
+        whole point on a bandwidth-limited tunnel)."""
         cfg = self.cfg
         half = cfg.n_mdct_lines
         n_blocks = -(-pcm.shape[0] // half)
@@ -439,36 +460,46 @@ class Engine:
 
         run = _chunk_encode_fn(cfg, pack_words=self.pack_words)
         consts = self.consts()
-        zeros = jnp.zeros(chunk, jnp.float32)
-        outs = [run(d, zeros, consts) for d in dev]
+        extras = np.zeros(b_pad, np.float32)
 
         if self.rate_mode == "reservoir":
+            # pass 1: measurement-only program (payload serialization DCE'd)
+            zeros = jnp.zeros(chunk, jnp.float32)
+            measure = _chunk_encode_fn(cfg, measure_only=True)
+            m_outs = [measure(d, zeros, consts) for d in dev]
             savings = np.concatenate(
-                [np.asarray(o["savings"]) for o in outs])[:b]
+                [np.asarray(o["savings"]) for o in m_outs])[:b]
             leftover = np.concatenate(
-                [np.asarray(o["leftover"]) for o in outs])[:b]
-            extras = np.zeros(b_pad, np.float32)
+                [np.asarray(o["leftover"]) for o in m_outs])[:b]
             extras[:b], _ = _reservoir_extras(
                 savings, leftover, cfg.reservoir_withdraw_divisor)
-            outs = [run(d, jnp.asarray(extras[i:i + chunk]), consts)
-                    for d, i in zip(dev, range(0, b_pad, chunk))]
+        outs = [run(d, jnp.asarray(extras[i:i + chunk]), consts)
+                for d, i in zip(dev, range(0, b_pad, chunk))]
+        return outs, b, dev, extras, chunk
 
-        if self.pack_words:
-            nbits_max = max(int(np.asarray(o["nbits"]).max(initial=0))
-                            for o in outs)
-            if nbits_max > 32 * self.pack_words:
-                # payload exceeded the device packer's word budget
-                # (theoretical corner) — redo with the host serial packer
-                run = _chunk_encode_fn(cfg, pack_words=0)
-                extra_src = (extras if self.rate_mode == "reservoir"
-                             else np.zeros(b_pad, np.float32))
-                outs = [run(d, jnp.asarray(extra_src[i:i + chunk]), consts)
-                        for d, i in zip(dev, range(0, b_pad, chunk))]
-        return outs, b
+    def _chunk_payload(self, out, dev_pcm, extra_chunk: np.ndarray,
+                       n_blocks: int) -> bytes:
+        """Payload bytes for one chunk's first n_blocks blocks.
+
+        A chunk whose measured nbits overflow the narrow device packer is
+        re-encoded with the wide packer (payloads legitimately spike after
+        quiet passages — reference leftover chaining, codec/codec.py:229);
+        past even that, the host serial packer."""
+        if "words" in out:
+            nbits = np.asarray(out["nbits"])[:2 * n_blocks]
+            need = -(-int(nbits.max(initial=0)) // 32)
+            if need > out["words"].shape[1]:
+                # smallest wide bucket that fits (few buckets -> few
+                # compiled specializations; download scales with the bucket)
+                wide_words = next((w for w in (192, 256, 384, PACK_WORDS_MAX)
+                                   if w >= need), 0)
+                wide = _chunk_encode_fn(self.cfg, pack_words=wide_words)
+                out = wide(dev_pcm, jnp.asarray(extra_chunk), self.consts())
+        return self.pack_payload(out, n_blocks)
 
     def encode_arrays(self, pcm: np.ndarray):
         """pcm: int16 [n, 2] -> (host outputs dict, n_blocks)."""
-        outs, b = self._encode_chunks(pcm)
+        outs, b, _, _, _ = self._encode_chunks(pcm)
         out = {k: np.concatenate([np.asarray(o[k]) for o in outs])
                for k in outs[0]}
         return out, b
@@ -491,14 +522,22 @@ class Engine:
                 np.zeros((b, cfg.n_bands), np.int32), write_lrms=False)
             return header + payload
 
-        outs, b = self._encode_chunks(pcm)
-        if "words" in outs[0]:
-            words = np.concatenate([np.asarray(o["words"]) for o in outs])
-            nbits = np.concatenate([np.asarray(o["nbits"]) for o in outs])
-            return header + self._assemble_device_packed(words, nbits, b)
-        out = {k: np.concatenate([np.asarray(o[k]) for o in outs])
-               for k in outs[0]}
-        return header + self.pack_payload(out, b)
+        outs, b, dev, extras, chunk = self._encode_chunks(pcm)
+        parts = [header]
+        done = 0
+        for j, (o, d) in enumerate(zip(outs, dev)):
+            nb = min(chunk, b - done)
+            if nb <= 0:
+                break
+            parts.append(self._chunk_payload(
+                o, d, extras[j * chunk:(j + 1) * chunk], nb))
+            done += nb
+        # observability: Huffman savings of the encoded stream (the
+        # reference driver's bits-saved readout, pacfile.py:439)
+        self.last_savings = int(sum(
+            int(np.asarray(o["savings"])[:min(chunk, b - i)].sum())
+            for i, o in zip(range(0, b, chunk), outs)))
+        return b"".join(parts)
 
     def _assemble_device_packed(self, words: np.ndarray, nbits: np.ndarray,
                                 b: int) -> bytes:

@@ -139,32 +139,35 @@ class StreamingEncoder:
         run = _chunk_encode_fn(cfg, pack_words=eng.pack_words)
         consts = eng.consts()
         extras = np.zeros(b_pad, np.float32)
-        outs = [run(d, jnp.zeros(chunk, jnp.float32), consts) for d in dev]
+        zeros = jnp.zeros(chunk, jnp.float32)
 
         if eng.rate_mode == "reservoir":
+            measure = _chunk_encode_fn(cfg, measure_only=True)
+            m_outs = [measure(d, zeros, consts) for d in dev]
             savings = np.concatenate(
-                [np.asarray(o["savings"]) for o in outs])[:b]
+                [np.asarray(o["savings"]) for o in m_outs])[:b]
             leftover = np.concatenate(
-                [np.asarray(o["leftover"]) for o in outs])[:b]
+                [np.asarray(o["leftover"]) for o in m_outs])[:b]
             extras[:b], (self._deposit, self._extra) = _reservoir_extras(
                 savings, leftover, cfg.reservoir_withdraw_divisor,
                 self._deposit, self._extra)
             outs = [run(d, jnp.asarray(extras[i:i + chunk]), consts)
                     for d, i in zip(dev, range(0, b_pad, chunk))]
+        else:
+            outs = [run(d, zeros, consts) for d in dev]
 
-        if eng.pack_words:
-            nbits_max = max(int(np.asarray(o["nbits"]).max(initial=0))
-                            for o in outs)
-            if nbits_max > 32 * eng.pack_words:
-                run = _chunk_encode_fn(cfg, pack_words=0)
-                outs = [run(d, jnp.asarray(extras[i:i + chunk]), consts)
-                        for d, i in zip(dev, range(0, b_pad, chunk))]
-
-        out = {k: np.concatenate([np.asarray(o[k]) for o in outs])
-               for k in outs[0]}
+        parts = []
+        done = 0
+        for j, (o, d) in enumerate(zip(outs, dev)):
+            nb = min(chunk, b - done)
+            if nb <= 0:
+                break
+            parts.append(eng._chunk_payload(
+                o, d, extras[j * chunk:(j + 1) * chunk], nb))
+            done += nb
         self._tail = blocks[-1]
         self._n_blocks += b
-        return eng.pack_payload(out, b)
+        return b"".join(parts)
 
     # -- checkpoint/resume -------------------------------------------------
 

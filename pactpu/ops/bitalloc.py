@@ -29,7 +29,8 @@ _NEG = jnp.float32(-1e30)
 
 def water_fill(total_bits: jax.Array, max_mant_bits: int,
                n_lines: jax.Array, smr: jax.Array, lrms: jax.Array,
-               ms_stop: float = -5.0, lr_stop: float = -15.0):
+               ms_stop: float = -5.0, lr_stop: float = -15.0,
+               use_pallas=None):
     """Batched exact-semantics water-filling (reference bitalloc.py:129-184).
 
     total_bits: i32[R]  (int(bitBudget + extraBits) per row)
@@ -39,7 +40,18 @@ def water_fill(total_bits: jax.Array, max_mant_bits: int,
     Returns (bits i32[R, bands], leftover i32[R]) where leftover is the
     unspent `totalBits` *after* the 1-bit refund; the caller computes
     bitDifference = leftover - extraBits.
+
+    On TPU the loop runs as a Pallas kernel whose state stays in vector
+    registers (pactpu.ops.pallas_ops.water_fill) — the XLA fori_loop
+    formulation pays a kernel round trip per iteration.
     """
+    if use_pallas is None:
+        from pactpu.ops import pallas_ops
+        use_pallas = pallas_ops.enabled()
+    if use_pallas:
+        from pactpu.ops import pallas_ops
+        return pallas_ops.water_fill(total_bits, max_mant_bits, n_lines,
+                                     smr, lrms, ms_stop, lr_stop)
     r, n_bands = smr.shape
     n_lines = jnp.asarray(n_lines, jnp.int32)
     smr = smr.astype(jnp.float32)

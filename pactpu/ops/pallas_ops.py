@@ -79,6 +79,129 @@ def _spread_kernel(mspl_ref, lev_ref, bark_ref, valid_ref, drop_ref,
             out_ref[r, :] += jnp.sum(contrib, axis=0)
 
 
+def _water_fill_kernel(smr_ref, lrms_ref, nlines_ref, total_ref,
+                       bits_ref, left_ref, *, n_bands, max_mant_bits,
+                       ms_stop, lr_stop, max_iters):
+    """Greedy water-filling for R_TILE rows entirely on-chip.
+
+    The reference allocator's data-dependent while loop
+    (reference codec/bitalloc.py:129-184) runs here as a fixed-trip loop
+    whose state (bits, budget, valid mask) lives in vector registers — no
+    per-iteration kernel dispatch, which is what makes the XLA fori_loop
+    formulation latency-bound (each of its ~425 iterations costs a kernel
+    round trip on tiny [R, 25] arrays).
+
+    smr/lrms: f32[R_TILE, NB] (NB = bands padded to the 32-lane granule,
+    lrms is 0/1); nlines: f32[1, NB] (0 in padded lanes);
+    total: f32[R_TILE, 1] budget per row.
+    Outputs: bits f32[R_TILE, NB], left f32[R_TILE, 1] (unspent budget
+    after the 1-bit refund).
+    """
+    smr = smr_ref[:, :]
+    lrms = lrms_ref[:, :]
+    nlines = nlines_ref[0, :][None, :]
+    r_tile = smr.shape[0]
+    nb_pad = smr.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r_tile, nb_pad), 1)
+    valid0 = (lane < n_bands).astype(jnp.float32)
+
+    def body(_, state):
+        bits, total, valid = state
+        resid = smr - 6.0 * bits
+        masked = jnp.where(valid > 0.0, resid, -1e30)
+        cand = jnp.argmax(masked, axis=1).astype(jnp.int32)[:, None]
+        onehot = (lane == cand).astype(jnp.float32)
+        active = jnp.max(valid, axis=1, keepdims=True)  # any valid band
+
+        global_resid = jnp.max(smr - (bits - 1.0) * 6.0, axis=1,
+                               keepdims=True)
+        cand_ms = jnp.sum(onehot * lrms, axis=1, keepdims=True)
+        stop_thr = jnp.where(cand_ms > 0.0, ms_stop, lr_stop)
+        kill_stop = (global_resid < stop_thr).astype(jnp.float32)
+
+        cost = jnp.sum(onehot * nlines, axis=1, keepdims=True)
+        can_pay = (total - cost >= 0.0).astype(jnp.float32)
+        grant = active * can_pay
+        bits = bits + grant * onehot
+        total = total - grant * cost
+        cand_bits = jnp.sum(onehot * bits, axis=1, keepdims=True)
+        hit_cap = (cand_bits >= max_mant_bits).astype(jnp.float32)
+        kill = active * jnp.minimum(
+            kill_stop + (1.0 - can_pay) + grant * hit_cap, 1.0)
+        valid = valid * (1.0 - onehot * kill)
+        return bits, total, valid
+
+    bits0 = jnp.zeros((r_tile, nb_pad), jnp.float32)
+    bits, total, _ = jax.lax.fori_loop(
+        0, max_iters, body, (bits0, total_ref[:, :], valid0))
+
+    ones = (bits == 1.0).astype(jnp.float32)
+    refund = jnp.sum(ones * nlines, axis=1, keepdims=True)
+    bits_ref[:, :] = bits * (1.0 - ones)
+    left_ref[:, :] = total + refund
+
+
+@partial(jax.jit, static_argnames=("max_mant_bits", "ms_stop", "lr_stop",
+                                   "n_bands_static", "interpret"))
+def _water_fill_call(total_bits, smr, lrms, nlines_row, max_mant_bits,
+                     ms_stop, lr_stop, n_bands_static, interpret):
+    r, nb = smr.shape
+    nb_pad = max(32, -(-nb // 128) * 128) if nb > 32 else 32
+    # big row tiles: every loop iteration is then [rows, 32] vector work
+    # (full vregs) and the sequential grid stays short — the whole batch
+    # usually runs as ONE program whose loop state lives in VMEM/registers
+    rows = min(-(-r // 8) * 8, 512)
+    pad_r = (-r) % rows
+    rp = r + pad_r
+
+    def pad2(a, value=0.0):
+        return jnp.pad(a.astype(jnp.float32),
+                       ((0, pad_r), (0, nb_pad - nb)),
+                       constant_values=value)
+
+    # padded lanes must not win the global stop-rule max -> -1e30
+    smr_p = pad2(smr, value=-1e30)
+    lrms_p = pad2(lrms.astype(jnp.float32))
+    nlines_p = jnp.pad(nlines_row.astype(jnp.float32)[None, :],
+                       ((0, 0), (0, nb_pad - nb)))
+    total_p = jnp.pad(total_bits.astype(jnp.float32)[:, None],
+                      ((0, pad_r), (0, 0)))
+
+    max_iters = n_bands_static * (max_mant_bits + 1)
+    kernel = partial(_water_fill_kernel, n_bands=n_bands_static,
+                     max_mant_bits=float(max_mant_bits),
+                     ms_stop=float(ms_stop), lr_stop=float(lr_stop),
+                     max_iters=max_iters)
+    row = lambda w: pl.BlockSpec((rows, w), lambda i: (i, 0),  # noqa: E731
+                                 memory_space=pltpu.VMEM)
+    bits, left = pl.pallas_call(
+        kernel,
+        grid=(rp // rows,),
+        in_specs=[row(nb_pad), row(nb_pad),
+                  pl.BlockSpec((1, nb_pad), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  row(1)],
+        out_specs=(row(nb_pad), row(1)),
+        out_shape=(jax.ShapeDtypeStruct((rp, nb_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((rp, 1), jnp.float32)),
+        interpret=interpret,
+    )(smr_p, lrms_p, nlines_p, total_p)
+    return (bits[:r, :nb].astype(jnp.int32),
+            left[:r, 0].astype(jnp.int32))
+
+
+def water_fill(total_bits: jax.Array, max_mant_bits: int,
+               n_lines: jax.Array, smr: jax.Array, lrms: jax.Array,
+               ms_stop: float = -5.0, lr_stop: float = -15.0,
+               interpret: bool = False):
+    """Pallas drop-in for pactpu.ops.bitalloc.water_fill (same contract)."""
+    nb = smr.shape[1]
+    return _water_fill_call(total_bits, smr, lrms,
+                            jnp.asarray(n_lines), int(max_mant_bits),
+                            float(ms_stop), float(lr_stop), int(nb),
+                            interpret)
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def spread_maskers(mspl_k: jax.Array, lev_k: jax.Array, bark_k: jax.Array,
                    valid: jax.Array, drop_db: jax.Array, zvec: jax.Array,

@@ -58,6 +58,31 @@ def test_spread_kernel_matches_xla_path(blocks):
                                rtol=1e-5, atol=1e-4)
 
 
+def test_water_fill_kernel_matches_xla():
+    """Pallas water-fill (interpret mode) is bit-identical to the XLA
+    fori_loop formulation — integer state, so exact equality."""
+    import jax
+    from pactpu.ops import bitalloc as ba_ops
+    from pactpu.ops import pallas_ops as po
+    from pactpu.utils.config import CodecConfig
+
+    cfg = CodecConfig()
+    n_lines = np.asarray(cfg.band_layout.n_lines, np.int32)
+    rng = np.random.default_rng(5)
+    r = 13  # deliberately not a multiple of the row tile
+    smr = jnp.asarray(rng.uniform(-20, 60, (r, 25)), jnp.float32)
+    lrms = jnp.asarray(rng.random((r, 25)) < 0.4)
+    totals = jnp.asarray(
+        rng.integers(0, 3000, r).astype(np.int32))
+
+    gold_bits, gold_left = ba_ops.water_fill(
+        totals, 16, n_lines, smr, lrms, use_pallas=False)
+    bits, left = po.water_fill(totals, 16, n_lines, smr, lrms,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(bits), np.asarray(gold_bits))
+    np.testing.assert_array_equal(np.asarray(left), np.asarray(gold_left))
+
+
 def test_masked_threshold_pallas_flag(blocks, monkeypatch):
     """use_pallas=True routes through the kernel (interpret on CPU)."""
     fs = 44100
