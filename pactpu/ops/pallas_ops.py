@@ -79,6 +79,76 @@ def _spread_kernel(mspl_ref, lev_ref, bark_ref, valid_ref, drop_ref,
             out_ref[r, :] += jnp.sum(contrib, axis=0)
 
 
+def _spread_dense_kernel(mspl_ref, valid_ref, drop_ref, bark_ref, zvec_ref,
+                         out_ref):
+    """Dense-masker variant: every FFT bin is a masker slot, gated by the
+    peak mask; masker level (0.367 * max(SPL - 40, 0)) computes in-kernel.
+
+    mspl/valid: f32[R_TILE, K]; drop: f32[R_TILE, 1];
+    bark: f32[1, K] bin barks (constant); zvec: f32[1, L] line barks.
+    Skipping the top-k compaction + gathers costs 2x spreading work but
+    saves the ~10 ms top_k/gather stage per chunk — a large net win once
+    the spreading itself is a kernel (the spread is ~0.4 ms).
+    """
+    k = mspl_ref.shape[1]
+    zvec = zvec_ref[0, :]
+    out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    for r in range(_R_TILE):                    # static unroll over rows
+        for s in range(0, k, _K_TILE):
+            mspl = mspl_ref[r, s:s + _K_TILE][:, None]      # [kt, 1]
+            valid = valid_ref[r, s:s + _K_TILE][:, None]
+            bark = bark_ref[0, s:s + _K_TILE][:, None]
+            lev = 0.367 * jnp.maximum(mspl - 40.0, 0.0)
+            dz = zvec[None, :] - bark                       # [kt, L]
+            adz = jnp.abs(dz)
+            onslope = jnp.where(adz > 0.5, adz - 0.5, 0.0)
+            s_db = (mspl - drop_ref[r, 0] - 27.0 * onslope
+                    + jnp.where(dz >= 0.0, lev * onslope, 0.0))
+            contrib = jnp.exp2(_LOG2_10_OVER_10 * (s_db - 96.0)) * valid
+            out_ref[r, :] += jnp.sum(contrib, axis=0)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def spread_maskers_dense(mspl: jax.Array, valid: jax.Array,
+                         drop_db: jax.Array, bin_bark: jax.Array,
+                         zvec: jax.Array,
+                         interpret: bool = False) -> jax.Array:
+    """Masking-intensity accumulation over ALL bins (peak-masked).
+
+    mspl: f32[B, K] per-bin masker SPLs; valid: bool/f32[B, K] peak mask;
+    drop_db: f32[B]; bin_bark: f32[K]; zvec: f32[L].
+    Returns f32[B, L] (same quantity as `spread_maskers`)."""
+    b, k = mspl.shape
+    l = zvec.shape[0]
+    assert k % _K_TILE == 0, k
+    pad = (-b) % _R_TILE
+    bp = b + pad
+    f32 = lambda a: jnp.pad(a.astype(jnp.float32), ((0, pad), (0, 0)))  # noqa: E731
+    zvec2 = jnp.broadcast_to(zvec.astype(jnp.float32)[None, :], (1, l))
+    bark2 = jnp.broadcast_to(bin_bark.astype(jnp.float32)[None, :], (1, k))
+    drop2 = f32(drop_db.astype(jnp.float32).reshape(b, 1))
+
+    row = pl.BlockSpec((_R_TILE, k), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _spread_dense_kernel,
+        grid=(bp // _R_TILE,),
+        in_specs=[row, row,
+                  pl.BlockSpec((_R_TILE, 1), lambda i: (i, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, k), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, l), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((_R_TILE, l), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, l), jnp.float32),
+        interpret=interpret,
+    )(f32(mspl), f32(valid), drop2, bark2, zvec2)
+    return out[:b]
+
+
 def _water_fill_kernel(smr_ref, lrms_ref, nlines_ref, total_ref,
                        bits_ref, left_ref, *, n_bands, max_mant_bits,
                        ms_stop, lr_stop, max_iters):

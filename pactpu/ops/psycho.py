@@ -140,6 +140,18 @@ def masked_threshold(x: jax.Array, drop_db: jax.Array, fs: int,
     bin_bark = jnp.asarray(bin_bark)
     mspl, peak = masker_levels(x, fs)
 
+    if use_pallas is None:
+        from pactpu.ops import pallas_ops
+        use_pallas = pallas_ops.enabled()
+    if use_pallas:
+        # dense path: every bin is a masker slot gated by the peak mask —
+        # no top_k compaction, no gathers; the 2x spreading work is cheap
+        # once the spread is a Pallas kernel (pactpu.ops.pallas_ops)
+        from pactpu.ops import pallas_ops
+        total = pallas_ops.spread_maskers_dense(
+            mspl, peak.astype(mspl.dtype), drop_db, bin_bark, zvec)
+        return spl(jnp.asarray(quiet_i)[None] + total)
+
     # compact peaks into K slots (indices of peak bins; empty slots -> -1)
     key = jnp.where(peak, jnp.arange(half, dtype=jnp.int32), -1)
     idx, _ = jax.lax.top_k(key, k)                 # actually values == idx
@@ -148,15 +160,6 @@ def masked_threshold(x: jax.Array, drop_db: jax.Array, fs: int,
     mspl_k = jnp.take_along_axis(mspl, safe, axis=-1)
     lev_k = 0.367 * jnp.maximum(mspl_k - 40.0, 0.0)
     bark_k = bin_bark[safe]
-
-    if use_pallas is None:
-        from pactpu.ops import pallas_ops
-        use_pallas = pallas_ops.enabled()
-    if use_pallas:
-        from pactpu.ops import pallas_ops
-        total = pallas_ops.spread_maskers(
-            mspl_k, lev_k, bark_k, valid.astype(mspl.dtype), drop_db, zvec)
-        return spl(jnp.asarray(quiet_i)[None] + total)
 
     log2_10_over_10 = jnp.float32(np.log2(10.0) / 10.0)
 

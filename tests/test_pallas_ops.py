@@ -84,15 +84,16 @@ def test_water_fill_kernel_matches_xla():
 
 
 def test_masked_threshold_pallas_flag(blocks, monkeypatch):
-    """use_pallas=True routes through the kernel (interpret on CPU)."""
+    """use_pallas=True routes through the dense kernel (interpret on CPU)
+    and matches the compacted XLA path."""
     fs = 44100
     drop = jnp.full(blocks.shape[0], 15.0, jnp.float32)
     gold = psycho.masked_threshold(jnp.asarray(blocks), drop, fs,
                                    use_pallas=False)
     import pactpu.ops.pallas_ops as po
-    real = po.spread_maskers
+    real = po.spread_maskers_dense
     monkeypatch.setattr(
-        po, "spread_maskers",
+        po, "spread_maskers_dense",
         lambda *a, **k: real(*a, interpret=True, **k))
     out = psycho.masked_threshold(jnp.asarray(blocks), drop, fs,
                                   use_pallas=True)
