@@ -198,6 +198,40 @@ int64_t wak_pack_file(int n_cblocks, int n_bands, const int32_t* n_lines,
   return pos;
 }
 
+// Assemble device-packed payload rows into the .wak framing: per row a
+// uint32 little-endian byte-count prefix (reference codec/pacfile.py:314-322)
+// followed by the first (nbits+7)/8 bytes of the row's u32 words rendered
+// big-endian (the device packer emits MSB-first bitstreams in u32 words).
+// Returns total bytes written, or -1 on overflow of out_cap.
+int64_t wak_assemble_rows(const uint32_t* words, int n_rows, int n_words,
+                          const int32_t* nbits, uint8_t* out,
+                          int64_t out_cap) {
+  int64_t pos = 0;
+  for (int r = 0; r < n_rows; ++r) {
+    int64_t nbytes = (static_cast<int64_t>(nbits[r]) + 7) / 8;
+    if (pos + 4 + nbytes > out_cap ||
+        nbytes > static_cast<int64_t>(n_words) * 4)
+      return -1;
+    out[pos] = static_cast<uint8_t>(nbytes & 0xff);
+    out[pos + 1] = static_cast<uint8_t>((nbytes >> 8) & 0xff);
+    out[pos + 2] = static_cast<uint8_t>((nbytes >> 16) & 0xff);
+    out[pos + 3] = static_cast<uint8_t>((nbytes >> 24) & 0xff);
+    pos += 4;
+    const uint32_t* row = words + static_cast<int64_t>(r) * n_words;
+    int64_t full = nbytes / 4;
+    for (int64_t w = 0; w < full; ++w) {
+      uint32_t v = row[w];
+      out[pos++] = static_cast<uint8_t>(v >> 24);
+      out[pos++] = static_cast<uint8_t>(v >> 16);
+      out[pos++] = static_cast<uint8_t>(v >> 8);
+      out[pos++] = static_cast<uint8_t>(v);
+    }
+    for (int k = 0; k < (nbytes & 3); ++k)
+      out[pos++] = static_cast<uint8_t>(row[full] >> (24 - 8 * k));
+  }
+  return pos;
+}
+
 // Count channel payloads by walking the nBytes prefixes.
 int64_t wak_count_blocks(const uint8_t* data, int64_t size) {
   int64_t off = 0, n = 0;

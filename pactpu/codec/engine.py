@@ -112,36 +112,21 @@ def frame_blocks_np(pcm: np.ndarray, half: int, b_pad: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=16)
-def encode_body(cfg: CodecConfig, two_channel_chain: bool = True,
-                return_syms: bool = False, pack_words: int = 0,
-                measure_only: bool = False):
-    """The full per-block encode computation as a pure traceable function
-    `(frames i16[B, 2, 2N], extra0 f32[B], consts) -> dict of device
-    arrays` — jitted directly for single-chip use (`_encode_fn`) or wrapped
-    in `shard_map` for block-sharded multi-chip encoding
-    (pactpu.parallel.shard).  `consts` is `engine_consts_np(cfg)` (or its
-    device-put copy).
+def analyze_body(cfg: CodecConfig):
+    """The analysis front half of the encoder — window+MDCT, overall block
+    scale, LRMS decision, stereo psychoacoustic SMRs — as a pure traceable
+    `(frames i16[B, 2, 2N], consts) -> dict(mixed, smr, lrms, overall)`.
 
-    pack_words > 0 additionally runs the on-device bit packer
-    (pactpu.ops.bitpack) and returns `words` u32[B*2, pack_words] +
-    `nbits` i32[B*2] instead of the per-line sign/code/length arrays —
-    the download shrinks ~10x and the host only slices bytes.
-
-    measure_only returns just (savings, leftover) — the reservoir pass-1
-    measurement; XLA dead-code-eliminates the payload serialization
-    (scale factors, code gather, packer), cutting the pass-1 program by
-    roughly a third."""
+    Everything the rate/quantize/entropy tail (`finalize_body`) consumes.
+    In the reservoir mode the engine keeps these arrays device-resident
+    between the measurement pass and the final pass so the heavy
+    psychoacoustic model runs ONCE per block instead of twice."""
     layout = cfg.band_layout
     half = cfg.n_mdct_lines
     fs = cfg.sample_rate
-    n_lines = np.asarray(layout.n_lines, np.int32)
-    seg = np.asarray(layout.line_to_band)
-    max_mant = min(1 << cfg.n_mant_size_bits, cfg.max_mant_bits)
-    budget = float(cfg.bit_budget())
     sine = np.asarray(sine_window(2 * half), np.float32)
 
-    def run(frames_i16: jax.Array, extra0: jax.Array, consts: dict):
-        b = frames_i16.shape[0]
+    def run(frames_i16: jax.Array, consts: dict):
         frames = q_ops.pcm16_to_float(frames_i16)
         sw = frames * sine[None, None, :]
         lines = mdct(sw, consts["basis"])
@@ -152,6 +137,36 @@ def encode_body(cfg: CodecConfig, two_channel_chain: bool = True,
         lrms = psycho.lrms_decision(frames, layout, cfg.ms_decision_factor)
         smr, mixed = psycho.stereo_smrs(sw, scaled, overall, lrms, fs,
                                         layout, consts=consts["psy"])
+        return dict(mixed=mixed, smr=smr, lrms=lrms, overall=overall)
+
+    return run
+
+
+@lru_cache(maxsize=16)
+def finalize_body(cfg: CodecConfig, two_channel_chain: bool = True,
+                  return_syms: bool = False, pack_words: int = 0,
+                  measure_only: bool = False):
+    """The rate-control/quantize/entropy tail of the encoder:
+    `(analysis dict from analyze_body, extra0 f32[B], consts) -> dict` —
+    water-filling allocation, BFP quantization, Huffman table selection and
+    (pack_words > 0) on-device payload packing.
+
+    measure_only returns just (savings, leftover) — the reservoir pass-1
+    measurement; XLA dead-code-eliminates the payload serialization
+    (scale factors, code gather, packer)."""
+    layout = cfg.band_layout
+    half = cfg.n_mdct_lines
+    n_lines = np.asarray(layout.n_lines, np.int32)
+    seg = np.asarray(layout.line_to_band)
+    max_mant = min(1 << cfg.n_mant_size_bits, cfg.max_mant_bits)
+    budget = float(cfg.bit_budget())
+
+    def run(analysis: dict, extra0: jax.Array, consts: dict):
+        mixed = analysis["mixed"]
+        smr = analysis["smr"]
+        lrms = analysis["lrms"]
+        overall = analysis["overall"].astype(jnp.int32)
+        b = mixed.shape[0]
 
         total0 = (jnp.float32(budget) + extra0.astype(jnp.float32)
                   ).astype(jnp.int32)
@@ -216,6 +231,31 @@ def encode_body(cfg: CodecConfig, two_channel_chain: bool = True,
 
 
 @lru_cache(maxsize=16)
+def encode_body(cfg: CodecConfig, two_channel_chain: bool = True,
+                return_syms: bool = False, pack_words: int = 0,
+                measure_only: bool = False):
+    """The full per-block encode computation as a pure traceable function
+    `(frames i16[B, 2, 2N], extra0 f32[B], consts) -> dict of device
+    arrays` — analyze_body composed with finalize_body.  Jitted directly
+    for single-chip use (`_encode_fn`) or wrapped in `shard_map` for
+    block-sharded multi-chip encoding (pactpu.parallel.shard).  `consts`
+    is `engine_consts_np(cfg)` (or its device-put copy).
+
+    pack_words > 0 additionally runs the on-device bit packer
+    (pactpu.ops.bitpack) and returns `words` u32[B*2, pack_words] +
+    `nbits` i32[B*2] instead of the per-line sign/code/length arrays —
+    the download shrinks ~10x and the host only slices bytes."""
+    analyze = analyze_body(cfg)
+    finalize = finalize_body(cfg, two_channel_chain, return_syms,
+                             pack_words, measure_only)
+
+    def run(frames_i16: jax.Array, extra0: jax.Array, consts: dict):
+        return finalize(analyze(frames_i16, consts), extra0, consts)
+
+    return run
+
+
+@lru_cache(maxsize=16)
 def _encode_fn(cfg: CodecConfig, two_channel_chain: bool = True,
                pack_words: int = 0):
     return jax.jit(encode_body(cfg, two_channel_chain,
@@ -223,12 +263,37 @@ def _encode_fn(cfg: CodecConfig, two_channel_chain: bool = True,
 
 
 @lru_cache(maxsize=16)
+def _chunk_analyze_fn(cfg: CodecConfig):
+    """Chunk analysis program taking *raw* PCM: `(pcm i16[2, (B+1)*half],
+    consts) -> analysis dict` (device-resident).  The 50%-overlap framing
+    happens on device, so each chunk uploads (B+1)*half samples instead of
+    B*2*half overlapped frames — half the tunnel traffic."""
+    body = analyze_body(cfg)
+    half = cfg.n_mdct_lines
+
+    def run(pcm: jax.Array, consts: dict):
+        b = pcm.shape[1] // half - 1
+        idx = (jnp.arange(b)[:, None] * half
+               + jnp.arange(2 * half)[None, :])
+        frames = jnp.take(pcm, idx, axis=1).transpose(1, 0, 2)
+        return body(frames, consts)
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=16)
+def _finalize_fn(cfg: CodecConfig, pack_words: int = 0,
+                 measure_only: bool = False):
+    return jax.jit(finalize_body(cfg, pack_words=pack_words,
+                                 measure_only=measure_only))
+
+
+@lru_cache(maxsize=16)
 def _chunk_encode_fn(cfg: CodecConfig, pack_words: int = 0,
                      measure_only: bool = False):
-    """Chunk program taking *raw* PCM: `(pcm i16[2, (B+1)*half], extra0
-    f32[B], consts) -> out`.  The 50%-overlap framing happens on device, so
-    each chunk uploads (B+1)*half samples instead of B*2*half overlapped
-    frames — half the tunnel traffic."""
+    """Single-program chunk encode (framing + analysis + finalize); used
+    for the rare wide-packer re-encode and by callers that don't need the
+    analysis kept resident."""
     body = encode_body(cfg, pack_words=pack_words,
                        measure_only=measure_only)
     half = cfg.n_mdct_lines
@@ -458,23 +523,30 @@ class Engine:
                    glob[:, i * half:(i + chunk + 1) * half]))
                for i in range(0, b_pad, chunk)]
 
-        run = _chunk_encode_fn(cfg, pack_words=self.pack_words)
         consts = self.consts()
         extras = np.zeros(b_pad, np.float32)
+
+        # analysis (window+MDCT+psych model) runs ONCE per chunk; its
+        # device-resident outputs feed both the reservoir measurement pass
+        # and the final pass, so the reservoir mode pays only the cheap
+        # alloc/quantize/Huffman tail twice
+        analyze = _chunk_analyze_fn(cfg)
+        finalize = _finalize_fn(cfg, pack_words=self.pack_words)
+        analyses = [analyze(d, consts) for d in dev]
 
         if self.rate_mode == "reservoir":
             # pass 1: measurement-only program (payload serialization DCE'd)
             zeros = jnp.zeros(chunk, jnp.float32)
-            measure = _chunk_encode_fn(cfg, measure_only=True)
-            m_outs = [measure(d, zeros, consts) for d in dev]
+            measure = _finalize_fn(cfg, measure_only=True)
+            m_outs = [measure(a, zeros, consts) for a in analyses]
             savings = np.concatenate(
                 [np.asarray(o["savings"]) for o in m_outs])[:b]
             leftover = np.concatenate(
                 [np.asarray(o["leftover"]) for o in m_outs])[:b]
             extras[:b], _ = _reservoir_extras(
                 savings, leftover, cfg.reservoir_withdraw_divisor)
-        outs = [run(d, jnp.asarray(extras[i:i + chunk]), consts)
-                for d, i in zip(dev, range(0, b_pad, chunk))]
+        outs = [finalize(a, jnp.asarray(extras[i:i + chunk]), consts)
+                for a, i in zip(analyses, range(0, b_pad, chunk))]
         return outs, b, dev, extras, chunk
 
     def _chunk_payload(self, out, dev_pcm, extra_chunk: np.ndarray,
@@ -544,7 +616,10 @@ class Engine:
         """Slice big-endian bytes per channel-block and prepend the uint32
         length prefix (reference pacfile.py:314-322)."""
         words = np.ascontiguousarray(words[:2 * b])
-        nbytes = (np.asarray(nbits[:2 * b], np.int64) + 7) // 8
+        nbits = np.asarray(nbits[:2 * b], np.int32)
+        if native.available():
+            return native.assemble_rows(words, nbits)
+        nbytes = (nbits.astype(np.int64) + 7) // 8
         row_bytes = words.astype(">u4").tobytes()
         stride = words.shape[1] * 4
         parts = []

@@ -57,6 +57,9 @@ def _load():
             [ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int,
              ctypes.c_int, ctypes.c_int, ctypes.c_int] + [i32p] * 8
             + [u8p, ctypes.c_int64])
+        lib.wak_assemble_rows.restype = ctypes.c_int64
+        lib.wak_assemble_rows.argtypes = [u32p, ctypes.c_int, ctypes.c_int,
+                                          i32p, u8p, ctypes.c_int64]
         lib.wak_count_blocks.restype = ctypes.c_int64
         lib.wak_count_blocks.argtypes = [u8p, ctypes.c_int64]
         lib.wak_unpack_file.restype = ctypes.c_int64
@@ -140,6 +143,24 @@ def pack_file(n_lines: np.ndarray, n_scale_bits: int, n_mant_size_bits: int,
         ctypes.c_int64(cap))
     if n < 0:
         raise RuntimeError("wak_pack_file: output capacity exceeded")
+    return out[:n].tobytes()
+
+
+def assemble_rows(words: np.ndarray, nbits: np.ndarray) -> bytes:
+    """Frame device-packed payload rows: uint32 LE byte-count prefix +
+    big-endian bytes of each row's u32 words (first (nbits+7)/8 bytes)."""
+    lib = _load()
+    words = np.ascontiguousarray(words, np.uint32)
+    nb, nb_p = _i32(nbits)
+    r, w = words.shape
+    cap = r * (4 + w * 4)
+    out = np.empty(cap, np.uint8)
+    n = lib.wak_assemble_rows(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), r, w, nb_p,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(cap))
+    if n < 0:
+        raise RuntimeError("wak_assemble_rows: row overran its words buffer")
     return out[:n].tobytes()
 
 

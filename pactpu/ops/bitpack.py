@@ -126,9 +126,14 @@ def pack_payload_bits(overall: jax.Array, tid: jax.Array, ba: jax.Array,
     sh1 = jnp.clip(32 - spill, 0, 31).astype(jnp.uint32)
     part1 = jnp.where(spill > 0, (u & mask) << sh1, 0)
 
+    part0 = jnp.where(widths > 0, part0, 0)
+    from pactpu.ops import pallas_ops
+    if pallas_ops.enabled():
+        # scatter-free Pallas accumulation (the XLA scatter-add below
+        # serializes: ~30 items land in every word)
+        return pallas_ops.pack_words(part0, part1, w0, n_words), nbits
     words = jnp.zeros((r, n_words), jnp.uint32)
     rows = jnp.broadcast_to(jnp.arange(r)[:, None], w0.shape)
-    words = words.at[rows, w0].add(
-        jnp.where(widths > 0, part0, 0), mode="drop")
+    words = words.at[rows, w0].add(part0, mode="drop")
     words = words.at[rows, w0 + 1].add(part1, mode="drop")
     return words, nbits

@@ -149,6 +149,67 @@ def spread_maskers_dense(mspl: jax.Array, valid: jax.Array,
     return out[:b]
 
 
+def _pack_words_kernel(part0_ref, part1_ref, w0_ref, out_ref):
+    """Accumulate per-item word contributions into output words.
+
+    The XLA scatter-add formulation of payload packing serializes: ~30
+    items land in every 32-bit word.  Here each grid program holds the
+    [R_TILE, n_words] accumulator in registers/VMEM and sweeps the item
+    axis with compare-masked reductions — pure VPU work, no scatter.
+
+    part0/part1: i32[R_TILE, M] word contributions (bit patterns, already
+    guarded to 0 for empty items); w0: i32[R_TILE, M] destination word of
+    part0 (part1 goes to w0+1; M-padded items carry w0 = -2 so neither
+    lands).  out: i32[R_TILE, n_words] (bitwise-disjoint sums, so int32
+    wraparound add == or).
+    """
+    m = part0_ref.shape[1]
+    n_words = out_ref.shape[1]
+    wids = jax.lax.broadcasted_iota(jnp.int32, (_K_TILE, n_words), 1)
+    for r in range(_R_TILE):                    # static unroll over rows
+        acc = jnp.zeros((n_words,), jnp.int32)
+        for s in range(0, m, _K_TILE):
+            p0 = part0_ref[r, s:s + _K_TILE][:, None]       # [kt, 1]
+            p1 = part1_ref[r, s:s + _K_TILE][:, None]
+            w0 = w0_ref[r, s:s + _K_TILE][:, None]
+            contrib = (jnp.where(w0 == wids, p0, 0)
+                       + jnp.where(w0 + 1 == wids, p1, 0))
+            acc = acc + jnp.sum(contrib, axis=0)
+        out_ref[r, :] = acc
+
+
+@partial(jax.jit, static_argnames=("n_words", "interpret"))
+def pack_words(part0: jax.Array, part1: jax.Array, w0: jax.Array,
+               n_words: int, interpret: bool = False) -> jax.Array:
+    """Sum item contributions into u32 payload words (scatter-free).
+
+    part0/part1: u32/i32[R, M]; w0: i32[R, M] destination word indices.
+    Returns u32[R, n_words] where words[r, w] = or of part0 with w0 == w
+    and part1 with w0 + 1 == w."""
+    r, m = part0.shape
+    pad_m = (-m) % _K_TILE
+    pad_r = (-r) % _R_TILE
+    rp = r + pad_r
+
+    def prep(a, fill=0):
+        if a.dtype == jnp.uint32:
+            a = jax.lax.bitcast_convert_type(a, jnp.int32)
+        return jnp.pad(a.astype(jnp.int32), ((0, pad_r), (0, pad_m)),
+                       constant_values=fill)
+
+    row = lambda w: pl.BlockSpec((_R_TILE, w), lambda i: (i, 0),  # noqa: E731
+                                 memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _pack_words_kernel,
+        grid=(rp // _R_TILE,),
+        in_specs=[row(m + pad_m)] * 3,
+        out_specs=row(n_words),
+        out_shape=jax.ShapeDtypeStruct((rp, n_words), jnp.int32),
+        interpret=interpret,
+    )(prep(part0), prep(part1), prep(w0, fill=-2))
+    return jax.lax.bitcast_convert_type(out[:r], jnp.uint32)
+
+
 def _water_fill_kernel(smr_ref, lrms_ref, nlines_ref, total_ref,
                        bits_ref, left_ref, *, n_bands, max_mant_bits,
                        ms_stop, lr_stop, max_iters):

@@ -83,6 +83,32 @@ def test_water_fill_kernel_matches_xla():
     np.testing.assert_array_equal(np.asarray(left), np.asarray(gold_left))
 
 
+def test_pack_words_kernel_matches_scatter():
+    """Pallas pack_words (interpret mode) is bit-identical to the XLA
+    scatter-add words assembly inside pack_payload_bits."""
+    import jax
+    from pactpu.ops import pallas_ops as po
+
+    rng = np.random.default_rng(7)
+    r, m, n_words = 5, 300, 16
+    # random disjoint-ish contributions; exactness only needs identical
+    # adds, not a valid bitstream
+    part0 = jnp.asarray(rng.integers(0, 2**32, (r, m), dtype=np.uint64)
+                        .astype(np.uint32))
+    part1 = jnp.asarray(rng.integers(0, 2**32, (r, m), dtype=np.uint64)
+                        .astype(np.uint32))
+    w0 = jnp.asarray(np.sort(rng.integers(0, n_words, (r, m)))
+                     .astype(np.int32))
+
+    gold = jnp.zeros((r, n_words), jnp.uint32)
+    rows = jnp.broadcast_to(jnp.arange(r)[:, None], w0.shape)
+    gold = gold.at[rows, w0].add(part0, mode="drop")
+    gold = gold.at[rows, w0 + 1].add(part1, mode="drop")
+
+    out = po.pack_words(part0, part1, w0, n_words, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(gold))
+
+
 def test_masked_threshold_pallas_flag(blocks, monkeypatch):
     """use_pallas=True routes through the dense kernel (interpret on CPU)
     and matches the compacted XLA path."""
