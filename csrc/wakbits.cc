@@ -232,6 +232,44 @@ int64_t wak_assemble_rows(const uint32_t* words, int n_rows, int n_words,
   return pos;
 }
 
+// Repack decoded sign-magnitude mantissa codes into a fixed-width
+// MSB-first u32 word stream per channel-block: line j of band b
+// contributes ba[b] bits (its full code, sign bit leading).  The device
+// unpacker (pactpu extract_codes kernel) re-slices them from offsets
+// computed on device out of ba alone — so the host uploads ~2.3 kbit per
+// channel-block instead of 16 kbit of u16 codes through the
+// host<->device link.  `words` must be zeroed, [n_cblocks][n_words].
+// Returns the max bits used by any row, or -1 on overflow of n_words*32.
+int64_t wak_repack_codes(int n_cblocks, int n_bands, const int32_t* n_lines,
+                         int total_lines, const int32_t* ba,
+                         const int32_t* mant, uint32_t* words, int n_words) {
+  int64_t maxbits = 0;
+  const int64_t cap = static_cast<int64_t>(n_words) * 32;
+  for (int i = 0; i < n_cblocks; ++i) {
+    const int32_t* ba_r = ba + static_cast<int64_t>(i) * n_bands;
+    const int32_t* m_r = mant + static_cast<int64_t>(i) * total_lines;
+    uint32_t* w_r = words + static_cast<int64_t>(i) * n_words;
+    int64_t p = 0;
+    int line0 = 0;
+    for (int b = 0; b < n_bands; ++b) {
+      int a = ba_r[b];
+      if (a) {
+        if (p + static_cast<int64_t>(a) * n_lines[b] > cap) return -1;
+        for (int j = 0; j < n_lines[b]; ++j) {
+          uint32_t v = static_cast<uint32_t>(m_r[line0 + j]);
+          for (int k = a - 1; k >= 0; --k) {
+            w_r[p >> 5] |= ((v >> k) & 1u) << (31 - (p & 31));
+            ++p;
+          }
+        }
+      }
+      line0 += n_lines[b];
+    }
+    if (p > maxbits) maxbits = p;
+  }
+  return maxbits;
+}
+
 // Count channel payloads by walking the nBytes prefixes.
 int64_t wak_count_blocks(const uint8_t* data, int64_t size) {
   int64_t off = 0, n = 0;

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pactpu import native
-from pactpu.codec.engine import (Engine, _chunk_encode_fn, _chunk_decode_fn,
+from pactpu.codec.engine import (Engine, _chunk_analyze_fn, _finalize_fn, _chunk_decode_fn,
                                  _pad_blocks, _reservoir_extras)
 from pactpu.compat import refcodec as rc
 from pactpu.ops import quantize as q_ops
@@ -136,14 +136,16 @@ class StreamingEncoder:
                    pcm_cat[:, i * half:(i + chunk + 1) * half]))
                for i in range(0, b_pad, chunk)]
 
-        run = _chunk_encode_fn(cfg, pack_words=eng.pack_words)
+        analyze = _chunk_analyze_fn(cfg)
+        finalize = _finalize_fn(cfg, pack_words=eng.pack_words)
         consts = eng.consts()
         extras = np.zeros(b_pad, np.float32)
         zeros = jnp.zeros(chunk, jnp.float32)
+        analyses = [analyze(d, consts) for d in dev]
 
         if eng.rate_mode == "reservoir":
-            measure = _chunk_encode_fn(cfg, measure_only=True)
-            m_outs = [measure(d, zeros, consts) for d in dev]
+            measure = _finalize_fn(cfg, measure_only=True)
+            m_outs = [measure(a, zeros, consts) for a in analyses]
             savings = np.concatenate(
                 [np.asarray(o["savings"]) for o in m_outs])[:b]
             leftover = np.concatenate(
@@ -151,19 +153,17 @@ class StreamingEncoder:
             extras[:b], (self._deposit, self._extra) = _reservoir_extras(
                 savings, leftover, cfg.reservoir_withdraw_divisor,
                 self._deposit, self._extra)
-            outs = [run(d, jnp.asarray(extras[i:i + chunk]), consts)
-                    for d, i in zip(dev, range(0, b_pad, chunk))]
-        else:
-            outs = [run(d, zeros, consts) for d in dev]
+        outs = [finalize(a, jnp.asarray(extras[i:i + chunk]), consts)
+                for a, i in zip(analyses, range(0, b_pad, chunk))]
 
         parts = []
         done = 0
-        for j, (o, d) in enumerate(zip(outs, dev)):
+        for j, (o, a) in enumerate(zip(outs, analyses)):
             nb = min(chunk, b - done)
             if nb <= 0:
                 break
             parts.append(eng._chunk_payload(
-                o, d, extras[j * chunk:(j + 1) * chunk], nb))
+                o, a, extras[j * chunk:(j + 1) * chunk], nb))
             done += nb
         self._tail = blocks[-1]
         self._n_blocks += b

@@ -60,6 +60,10 @@ def _load():
         lib.wak_assemble_rows.restype = ctypes.c_int64
         lib.wak_assemble_rows.argtypes = [u32p, ctypes.c_int, ctypes.c_int,
                                           i32p, u8p, ctypes.c_int64]
+        lib.wak_repack_codes.restype = ctypes.c_int64
+        lib.wak_repack_codes.argtypes = [ctypes.c_int, ctypes.c_int, i32p,
+                                         ctypes.c_int, i32p, i32p, u32p,
+                                         ctypes.c_int]
         lib.wak_count_blocks.restype = ctypes.c_int64
         lib.wak_count_blocks.argtypes = [u8p, ctypes.c_int64]
         lib.wak_unpack_file.restype = ctypes.c_int64
@@ -162,6 +166,25 @@ def assemble_rows(words: np.ndarray, nbits: np.ndarray) -> bytes:
     if n < 0:
         raise RuntimeError("wak_assemble_rows: row overran its words buffer")
     return out[:n].tobytes()
+
+
+def repack_codes(mant: np.ndarray, ba: np.ndarray, n_lines: np.ndarray,
+                 n_words: int) -> np.ndarray:
+    """Repack decoded mantissa codes [R, total_lines] into fixed-width
+    MSB-first u32 words [R, n_words] (ba[b] bits per line of band b)."""
+    lib = _load()
+    r, total_lines = mant.shape
+    n_bands = ba.shape[1]
+    nl, nl_p = _i32(n_lines)
+    ba_, ba_p = _i32(ba)
+    m_, m_p = _i32(mant)
+    words = np.zeros((r, n_words), np.uint32)
+    rc = lib.wak_repack_codes(
+        r, n_bands, nl_p, total_lines, ba_p, m_p,
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n_words)
+    if rc < 0:
+        raise RuntimeError("wak_repack_codes: words buffer too small")
+    return words
 
 
 def unpack_file(payload: bytes, n_lines: np.ndarray, n_scale_bits: int,

@@ -210,6 +210,67 @@ def pack_words(part0: jax.Array, part1: jax.Array, w0: jax.Array,
     return jax.lax.bitcast_convert_type(out[:r], jnp.uint32)
 
 
+def _extract_codes_kernel(words_ref, off_ref, width_ref, out_ref):
+    """Slice fixed-width bit fields out of MSB-first u32 word rows.
+
+    The decode-side inverse of `pack_words`: for each line, read `width`
+    bits at bit offset `off` of the row's word stream.  Word selection is
+    compare-masked reduction over the W words (lane gathers serialize on
+    TPU; W is small).  words: i32[R_TILE, W] (u32 bit patterns);
+    off/width: i32[R_TILE, L]; out: i32[R_TILE, L] extracted codes.
+    """
+    w = words_ref.shape[1]
+    l = off_ref.shape[1]
+    srl = jax.lax.shift_right_logical
+    for r in range(_R_TILE):                    # static unroll over rows
+        words = words_ref[r, :]                 # [W]
+        for s in range(0, l, _K_TILE):
+            off = off_ref[r, s:s + _K_TILE][:, None]        # [lt, 1]
+            width = width_ref[r, s:s + _K_TILE]             # [lt]
+            w0 = off >> 5
+            sh = (off & 31)[:, 0]
+            wid = jax.lax.broadcasted_iota(jnp.int32, (_K_TILE, w), 1)
+            val0 = jnp.sum(jnp.where(wid == w0, words[None, :], 0), axis=1)
+            val1 = jnp.sum(jnp.where(wid == w0 + 1, words[None, :], 0),
+                           axis=1)
+            win = jnp.left_shift(val0, sh) | jnp.where(
+                sh > 0, srl(val1, jnp.minimum(32 - sh, 31)), 0)
+            code = jnp.where(
+                width > 0, srl(win, jnp.minimum(32 - width, 31)), 0)
+            out_ref[r, s:s + _K_TILE] = code
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def extract_codes(words: jax.Array, off: jax.Array, width: jax.Array,
+                  interpret: bool = False) -> jax.Array:
+    """Extract per-line fixed-width codes from packed u32 word rows.
+
+    words: u32/i32[R, W] MSB-first bit rows; off/width: i32[R, L] bit
+    offset and width per line (width 0 -> 0).  Returns i32[R, L]."""
+    r, w = words.shape
+    l = off.shape[1]
+    assert l % _K_TILE == 0, l
+    pad_r = (-r) % _R_TILE
+    rp = r + pad_r
+    if words.dtype == jnp.uint32:
+        words = jax.lax.bitcast_convert_type(words, jnp.int32)
+
+    def pad(a):
+        return jnp.pad(a.astype(jnp.int32), ((0, pad_r), (0, 0)))
+
+    row = lambda n: pl.BlockSpec((_R_TILE, n), lambda i: (i, 0),  # noqa: E731
+                                 memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _extract_codes_kernel,
+        grid=(rp // _R_TILE,),
+        in_specs=[row(w), row(l), row(l)],
+        out_specs=row(l),
+        out_shape=jax.ShapeDtypeStruct((rp, l), jnp.int32),
+        interpret=interpret,
+    )(pad(words), pad(off), pad(width))
+    return out[:r]
+
+
 def _water_fill_kernel(smr_ref, lrms_ref, nlines_ref, total_ref,
                        bits_ref, left_ref, *, n_bands, max_mant_bits,
                        ms_stop, lr_stop, max_iters):

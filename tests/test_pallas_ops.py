@@ -109,6 +109,62 @@ def test_pack_words_kernel_matches_scatter():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(gold))
 
 
+def test_repack_extract_codes_roundtrip():
+    """native.repack_codes -> extract_codes (interpret) reproduces the
+    mantissa codes exactly (untransmitted lines -> 0)."""
+    from pactpu import native
+    from pactpu.ops import pallas_ops as po
+    from pactpu.utils.config import CodecConfig
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    cfg = CodecConfig()
+    n_lines = np.asarray(cfg.band_layout.n_lines, np.int32)
+    seg = np.asarray(cfg.band_layout.line_to_band)
+    rng = np.random.default_rng(3)
+    r, total = 9, int(n_lines.sum())
+    ba = rng.integers(0, 17, (r, len(n_lines))).astype(np.int32)
+    ba[ba == 1] = 0  # no 1-bit allocations, as in the codec
+    width = ba[:, seg]
+    mant = np.where(
+        width > 0,
+        rng.integers(0, 2 ** 16, (r, total)) & ((1 << width) - 1),
+        0).astype(np.int32)
+
+    n_words = 512
+    words = native.repack_codes(mant, ba, n_lines, n_words)
+    ends = np.cumsum(width, axis=1)
+    out = po.extract_codes(jnp.asarray(words),
+                           jnp.asarray((ends - width).astype(np.int32)),
+                           jnp.asarray(width.astype(np.int32)),
+                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), mant)
+
+
+def test_engine_packed_decode_matches(monkeypatch):
+    """The compact-upload decode path (repack_codes + extract_codes)
+    produces the identical PCM as the plain path."""
+    import pactpu.ops.pallas_ops as po
+    from pactpu import native
+    from pactpu.codec.engine import Engine
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(21)
+    pcm = np.clip(rng.standard_normal((44100, 2)) * 6000, -32767,
+                  32767).astype(np.int16)
+    eng = Engine(rate_mode="cbr")
+    stream = eng.encode(pcm)
+    fs, gold = eng.decode(stream)
+
+    real = po.extract_codes
+    monkeypatch.setattr(po, "enabled", lambda: True)
+    monkeypatch.setattr(po, "extract_codes",
+                        lambda *a, **k: real(*a, interpret=True, **k))
+    fs2, out = Engine(rate_mode="cbr").decode(stream)
+    np.testing.assert_array_equal(out, gold)
+
+
 def test_masked_threshold_pallas_flag(blocks, monkeypatch):
     """use_pallas=True routes through the dense kernel (interpret on CPU)
     and matches the compacted XLA path."""
