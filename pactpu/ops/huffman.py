@@ -65,19 +65,55 @@ def encode_select(symbols: jax.Array, line_bits: jax.Array,
     esc_code = jnp.asarray(esc_code_np)
 
     sym = symbols.astype(jnp.int32)
-    lens_all = tab_lens[:, sym]               # [10, R, L]
-    in_table = lens_all > 0
-    esc_cost = esc_len[:, None, None] + line_bits[None]
-    lens_all = jnp.where(in_table, lens_all, esc_cost)
-    lens_all = jnp.where(transmit[None], lens_all, 0)
-    totals = jnp.sum(lens_all, axis=-1)       # [10, R]
+    n_tab = tab_lens.shape[0]
+    n_lo = min(6, n_tab)                      # 6 x 5-bit lengths per word
+
+    # pack every table's 5-bit code length into two i32 words per symbol:
+    # the per-line length lookup for ALL tables is then two [R, L] gathers
+    # instead of a [T, R, L] one — TPU gathers are the cost here, the
+    # unpacking shifts are free VPU work
+    shifts_lo = 5 * jnp.arange(n_lo, dtype=jnp.int32)
+    packed_lo = jnp.sum(
+        jnp.left_shift(tab_lens[:n_lo], shifts_lo[:, None]), axis=0)
+    shifts_hi = 5 * jnp.arange(n_tab - n_lo, dtype=jnp.int32)
+    packed_hi = jnp.sum(
+        jnp.left_shift(tab_lens[n_lo:], shifts_hi[:, None]), axis=0)
+
+    # ONE gather per line: TPU gather cost scales with the number of
+    # gathered rows, not bytes, so the per-symbol record carries both
+    # packed-length words AND every table's codeword in one [S, 2+T] row
+    combined = jnp.concatenate(
+        [packed_lo[:, None], packed_hi[:, None], tab_codes.T], axis=1)
+    rec = combined[sym]                       # [R, L, 2+T] single gather
+    pl_, ph_ = rec[..., 0], rec[..., 1]
+
+    def table_len(t):
+        w = pl_ if t < n_lo else ph_
+        return (w >> (5 * (t % n_lo))) & 31
+
+    # one fused unpack+reduce per table — no [T, R, L] intermediate
+    totals = jnp.stack([
+        jnp.sum(jnp.where(
+            transmit,
+            jnp.where(table_len(t) > 0, table_len(t),
+                      esc_len[t] + line_bits), 0), axis=-1)
+        for t in range(n_tab)])               # [T, R]
     best = jnp.argmin(totals, axis=0)         # first min -> lowest id
 
+    # winning table's lengths/codes re-derived from the gathered records
+    b_col = best[:, None]
+    best_shift = jnp.where(b_col < n_lo, 5 * b_col, 5 * (b_col - n_lo))
+    len_best = (jnp.where(b_col < n_lo, pl_, ph_) >> best_shift) & 31
+    in_best = len_best > 0
+    lens = jnp.where(transmit,
+                     jnp.where(in_best, len_best,
+                               esc_len[best][:, None] + line_bits), 0)
     r = jnp.arange(sym.shape[0])
-    lens = lens_all[best, r]                  # [R, L]
-    native = tab_codes[best[:, None], sym]
+    native = sym * 0
+    for t in range(n_tab):                    # 10-way select, fused VPU work
+        native = jnp.where(b_col == t, rec[..., 2 + t], native)
     escape = jnp.left_shift(esc_code[best][:, None], line_bits) + sym
-    codes = jnp.where(in_table[best, r], native, escape)
+    codes = jnp.where(in_best, native, escape)
     codes = jnp.where(transmit, codes, 0)
     return best + 1, codes, lens, totals[best, r]
 
