@@ -79,64 +79,72 @@ def _spread_kernel(mspl_ref, lev_ref, bark_ref, valid_ref, drop_ref,
             out_ref[r, :] += jnp.sum(contrib, axis=0)
 
 
-def _spread_dense_kernel(mspl_ref, valid_ref, drop_ref, bark_ref, zvec_ref,
-                         out_ref):
-    """Dense-masker variant: every FFT bin is a masker slot, gated by the
-    peak mask; masker level (0.367 * max(SPL - 40, 0)) computes in-kernel.
+_L_TILE = 256  # line tile of the upslope spread kernel
 
-    mspl/valid: f32[R_TILE, K]; drop: f32[R_TILE, 1];
-    bark: f32[1, K] bin barks (constant); zvec: f32[1, L] line barks.
-    Skipping the top-k compaction + gathers costs 2x spreading work but
-    saves the ~10 ms top_k/gather stage per chunk — a large net win once
-    the spreading itself is a kernel (the spread is ~0.4 ms).
+
+def _make_spread_up_kernel(bark_np: np.ndarray, zvec_np: np.ndarray):
+    """Build the upslope spreading kernel for static bark grids.
+
+    Only the tonal-level-dependent upward slope runs here (the plateau and
+    fixed downslope reduce to an MXU matmul in pactpu.ops.psycho): for
+    dz = z_line - z_masker > 0.5, contribution = I'_masker *
+    10^((0.367*max(SPL-40,0) - 27) * (dz - 0.5) / 10).
+
+    Both bark grids are compile-time constants and ascending, so every
+    (masker-tile, line-tile) pair whose lines all sit at dz <= 0.5 is
+    simply not emitted — about half of all pairs (the strictly-lower
+    triangle plus the plateau band).
     """
-    k = mspl_ref.shape[1]
-    zvec = zvec_ref[0, :]
-    out_ref[:, :] = jnp.zeros_like(out_ref)
+    k = bark_np.shape[0]
+    l = zvec_np.shape[0]
+    # per masker tile: the (static, 128-aligned) first line index that can
+    # sit on the tile's upslope — lines below bark[s] + 0.5 never do, and
+    # both grids are ascending, so the qualifying range is one wide
+    # contiguous slice per tile (one big vector op, not many small tiles)
+    plan = []
+    for s in range(0, k, _K_TILE):
+        l0 = int(np.searchsorted(zvec_np, bark_np[s] + 0.5, side="right"))
+        l0 = (l0 // 128) * 128
+        if l0 < l:
+            plan.append((s, l0))
+    plan = tuple(plan)
 
-    for r in range(_R_TILE):                    # static unroll over rows
-        for s in range(0, k, _K_TILE):
-            mspl = mspl_ref[r, s:s + _K_TILE][:, None]      # [kt, 1]
-            valid = valid_ref[r, s:s + _K_TILE][:, None]
-            bark = bark_ref[0, s:s + _K_TILE][:, None]
-            lev = 0.367 * jnp.maximum(mspl - 40.0, 0.0)
-            dz = zvec[None, :] - bark                       # [kt, L]
-            adz = jnp.abs(dz)
-            onslope = jnp.where(adz > 0.5, adz - 0.5, 0.0)
-            s_db = (mspl - drop_ref[r, 0] - 27.0 * onslope
-                    + jnp.where(dz >= 0.0, lev * onslope, 0.0))
-            contrib = jnp.exp2(_LOG2_10_OVER_10 * (s_db - 96.0)) * valid
-            out_ref[r, :] += jnp.sum(contrib, axis=0)
+    def kernel(iprime_ref, mspl_ref, bark_ref, zvec_ref, out_ref):
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+        for r in range(_R_TILE):                # static unroll over rows
+            for s, l0 in plan:
+                ip = iprime_ref[r, s:s + _K_TILE][:, None]      # [kt, 1]
+                mspl = mspl_ref[r, s:s + _K_TILE][:, None]
+                bark = bark_ref[0, s:s + _K_TILE][:, None]
+                zv = zvec_ref[0, l0:l][None, :]
+                lev = 0.367 * jnp.maximum(mspl - 40.0, 0.0)
+                dz = zv - bark                                  # [kt, lw]
+                up = jnp.where(dz > 0.5, dz - 0.5, 0.0)
+                contrib = ip * jnp.exp2(_LOG2_10_OVER_10
+                                        * (lev - 27.0) * up)
+                contrib = jnp.where(dz > 0.5, contrib, 0.0)
+                out_ref[r, l0:l] += jnp.sum(contrib, axis=0)
+
+    return kernel
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def spread_maskers_dense(mspl: jax.Array, valid: jax.Array,
-                         drop_db: jax.Array, bin_bark: jax.Array,
-                         zvec: jax.Array,
-                         interpret: bool = False) -> jax.Array:
-    """Masking-intensity accumulation over ALL bins (peak-masked).
-
-    mspl: f32[B, K] per-bin masker SPLs; valid: bool/f32[B, K] peak mask;
-    drop_db: f32[B]; bin_bark: f32[K]; zvec: f32[L].
-    Returns f32[B, L] (same quantity as `spread_maskers`)."""
-    b, k = mspl.shape
-    l = zvec.shape[0]
-    assert k % _K_TILE == 0, k
+@partial(jax.jit, static_argnames=("bark_key", "zvec_key", "interpret"))
+def _spread_up_call(iprime, mspl, bark_key, zvec_key, interpret):
+    bark_np = np.frombuffer(bark_key, np.float32)
+    zvec_np = np.frombuffer(zvec_key, np.float32)
+    b, k = iprime.shape
+    l = zvec_np.shape[0]
+    assert k % _K_TILE == 0 and l % _L_TILE == 0, (k, l)
     pad = (-b) % _R_TILE
     bp = b + pad
     f32 = lambda a: jnp.pad(a.astype(jnp.float32), ((0, pad), (0, 0)))  # noqa: E731
-    zvec2 = jnp.broadcast_to(zvec.astype(jnp.float32)[None, :], (1, l))
-    bark2 = jnp.broadcast_to(bin_bark.astype(jnp.float32)[None, :], (1, k))
-    drop2 = f32(drop_db.astype(jnp.float32).reshape(b, 1))
 
     row = pl.BlockSpec((_R_TILE, k), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _spread_dense_kernel,
+        _make_spread_up_kernel(bark_np, zvec_np),
         grid=(bp // _R_TILE,),
         in_specs=[row, row,
-                  pl.BlockSpec((_R_TILE, 1), lambda i: (i, 0),
-                               memory_space=pltpu.SMEM),
                   pl.BlockSpec((1, k), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, l), lambda i: (0, 0),
@@ -145,8 +153,24 @@ def spread_maskers_dense(mspl: jax.Array, valid: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, l), jnp.float32),
         interpret=interpret,
-    )(f32(mspl), f32(valid), drop2, bark2, zvec2)
+    )(f32(iprime), f32(mspl),
+      jnp.asarray(bark_np, jnp.float32)[None, :],
+      jnp.asarray(zvec_np, jnp.float32)[None, :])
     return out[:b]
+
+
+def spread_maskers_up(iprime: jax.Array, mspl: jax.Array,
+                      bark_np: np.ndarray, zvec_np: np.ndarray,
+                      interpret: bool = False) -> jax.Array:
+    """Upslope masking-intensity accumulation over all bins.
+
+    iprime: f32[B, K] peak-masked masker intensities
+    (10^((SPL - drop - 96)/10), zero for non-peaks); mspl: f32[B, K] raw
+    masker SPLs (for the tonal level term); bark_np/zvec_np: STATIC numpy
+    bark grids of the masker bins / MDCT lines.  Returns f32[B, L]."""
+    bark_key = np.ascontiguousarray(bark_np, np.float32).tobytes()
+    zvec_key = np.ascontiguousarray(zvec_np, np.float32).tobytes()
+    return _spread_up_call(iprime, mspl, bark_key, zvec_key, interpret)
 
 
 def _pack_words_kernel(part0_ref, part1_ref, w0_ref, out_ref):

@@ -59,14 +59,18 @@ def _mld_np(f: np.ndarray) -> np.ndarray:
 
 @lru_cache(maxsize=8)
 def _consts(n: int, fs: int):
-    """Static per-line/per-bin vectors for window size n (n//2 lines/bins).
+    """Static per-line/per-bin tables for window size n (n//2 lines/bins).
 
     Everything here depends only on (n, fs): threshold-in-quiet intensity at
     the MDCT line frequencies, bark of the MDCT lines, bark of the FFT
-    masker bins (on the reference's Py2 integer frequency grid, Q4), and
-    the MLD weighting (reference codec/psychoac.py:44-64, 158-191, 349-372).
-    All O(n) — the [bins, lines] spreading geometry is computed on the fly
-    in `masked_threshold` from these vectors.
+    masker bins (on the reference's Py2 integer frequency grid, Q4), the
+    MLD weighting (reference codec/psychoac.py:44-64, 158-191, 349-372),
+    and `nonup`: the [bins, lines] masker-level-INDEPENDENT part of the
+    spreading function — plateau (|dz| <= 0.5 -> 1) plus the fixed
+    -27 dB/bark downward slope (10^(2.7 dz + 1.35) for dz < -0.5,
+    psychoac.py:103-120) — so those two regions of the masking sum reduce
+    to one MXU matmul `intensity @ nonup` and only the tonal-level-
+    dependent upward slope needs elementwise spreading work.
     """
     half = n // 2
     line_freqs = (np.arange(half, dtype=np.float64) + 0.5) / half * (fs / 2.0)
@@ -75,10 +79,13 @@ def _consts(n: int, fs: int):
     grid = float(int(fs) // n)                     # Q4 integer grid
     bin_bark = _bark_np(np.arange(half, dtype=np.float64) * grid)
     mld = _mld_np(line_freqs)
+    dz = zvec[None, :] - bin_bark[:, None]         # [bins, lines]
+    nonup = np.where(np.abs(dz) <= 0.5, 1.0,
+                     np.where(dz < -0.5, 10.0 ** (2.7 * dz + 1.35), 0.0))
     # cached as numpy: a device array materialized during one jit trace must
     # not leak into another (same reason as pactpu.ops.mdct._mdct_basis)
     f32 = lambda a: np.asarray(a, np.float32)  # noqa: E731
-    return (f32(quiet_i), f32(zvec), f32(bin_bark), f32(mld))
+    return (f32(quiet_i), f32(zvec), f32(bin_bark), f32(mld), f32(nonup))
 
 
 def masker_levels(x: jax.Array, fs: int):
@@ -134,8 +141,8 @@ def masked_threshold(x: jax.Array, drop_db: jax.Array, fs: int,
     n = x.shape[-1]
     half = n // 2
     k = half // 2
-    quiet_i, zvec, bin_bark, _ = (consts if consts is not None
-                                  else _consts(n, int(fs)))
+    c = consts if consts is not None else _consts(n, int(fs))
+    quiet_i, zvec, bin_bark, nonup = c[0], c[1], c[2], c[4]
     zvec = jnp.asarray(zvec)
     bin_bark = jnp.asarray(bin_bark)
     mspl, peak = masker_levels(x, fs)
@@ -145,11 +152,23 @@ def masked_threshold(x: jax.Array, drop_db: jax.Array, fs: int,
         use_pallas = pallas_ops.enabled()
     if use_pallas:
         # dense path: every bin is a masker slot gated by the peak mask —
-        # no top_k compaction, no gathers; the 2x spreading work is cheap
-        # once the spread is a Pallas kernel (pactpu.ops.pallas_ops)
+        # no top_k compaction, no gathers.  The masker-level-independent
+        # spreading regions (plateau + fixed downslope) are one MXU matmul
+        # against the static `nonup` geometry; only the tonal-level-
+        # dependent upslope runs as an elementwise Pallas kernel (with
+        # static triangular tile skipping — bark grids are compile-time)
         from pactpu.ops import pallas_ops
-        total = pallas_ops.spread_maskers_dense(
-            mspl, peak.astype(mspl.dtype), drop_db, bin_bark, zvec)
+        # numpy grids for the kernel's static tile-skip decisions (and as
+        # small baked-in kernel constants) — always from the cache, the
+        # passed-in consts may be traced device values
+        cn = _consts(n, int(fs))
+        znp, bnp = cn[1], cn[2]
+        log2_10_over_10 = jnp.float32(np.log2(10.0) / 10.0)
+        iprime = jnp.where(
+            peak, jnp.exp2(log2_10_over_10
+                           * (mspl - drop_db[:, None] - 96.0)), 0.0)
+        total = iprime @ jnp.asarray(nonup)
+        total = total + pallas_ops.spread_maskers_up(iprime, mspl, bnp, znp)
         return spl(jnp.asarray(quiet_i)[None] + total)
 
     # compact peaks into K slots (indices of peak bins; empty slots -> -1)
@@ -246,7 +265,7 @@ def stereo_smrs(sine_windowed: jax.Array, scaled_lines: jax.Array,
     b, _, n = sine_windowed.shape
     half = n // 2
     hann = jnp.asarray(hann_window(n), sine_windowed.dtype)
-    _, _, _, mld = (consts if consts is not None else _consts(n, int(fs)))
+    mld = (consts if consts is not None else _consts(n, int(fs)))[3]
 
     hl = hann * sine_windowed[:, 0]
     hr = hann * sine_windowed[:, 1]

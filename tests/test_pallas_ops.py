@@ -39,7 +39,7 @@ def test_spread_kernel_matches_xla_path(blocks):
     # rebuild the kernel inputs exactly as masked_threshold does
     n = blocks.shape[-1]
     half = n // 2
-    quiet_i, zvec, bin_bark, _ = psycho._consts(n, fs)
+    quiet_i, zvec, bin_bark = psycho._consts(n, fs)[:3]
     mspl, peak = psycho.masker_levels(jnp.asarray(blocks), fs)
     import jax
     key = jnp.where(peak, jnp.arange(half, dtype=jnp.int32), -1)
@@ -166,18 +166,18 @@ def test_engine_packed_decode_matches(monkeypatch):
 
 
 def test_masked_threshold_pallas_flag(blocks, monkeypatch):
-    """use_pallas=True routes through the dense kernel (interpret on CPU)
-    and matches the compacted XLA path."""
+    """use_pallas=True routes through the nonup matmul + upslope kernel
+    (interpret on CPU) and matches the compacted XLA path."""
     fs = 44100
-    drop = jnp.full(blocks.shape[0], 15.0, jnp.float32)
+    drop = jnp.asarray([15.0, 0.0, 15.0, 15.0], jnp.float32)
     gold = psycho.masked_threshold(jnp.asarray(blocks), drop, fs,
                                    use_pallas=False)
     import pactpu.ops.pallas_ops as po
-    real = po.spread_maskers_dense
+    real = po.spread_maskers_up
     monkeypatch.setattr(
-        po, "spread_maskers_dense",
+        po, "spread_maskers_up",
         lambda *a, **k: real(*a, interpret=True, **k))
     out = psycho.masked_threshold(jnp.asarray(blocks), drop, fs,
                                   use_pallas=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(gold),
-                               rtol=1e-5, atol=1e-4)
+                               rtol=1e-4, atol=1e-4)
