@@ -73,7 +73,13 @@ DEFAULT_CHUNK_BLOCKS = 512
 # re-encoded with the wide packer, and past even that, the host packer
 # (Engine._chunk_payload).
 PACK_WORDS = 128
-PACK_WORDS_MAX = 640  # theoretical ceiling incl. all-escape worst case
+# True per-channel-block ceiling for the SHIPPED tables: overall(4) + tid(4)
+# + 25*(ba 4 + sf 4) + 25 lrms + 1024 signs + 1024 * (max escape 13 + max
+# mantissa 16) = 30,961 bits = 968 u32 words.  Freshly trained tables may
+# have escape codes up to 31 bits (huffman_train caps depth there), for
+# which the host serial packer in Engine._chunk_payload is the documented
+# backstop — it handles any nbits the wide packer cannot.
+PACK_WORDS_MAX = 968
 
 
 @lru_cache(maxsize=8)
@@ -527,6 +533,11 @@ class Engine:
         self.pack_words = PACK_WORDS if (device_pack and fmt == "wak") else 0
         self._consts_dev = None
         self.last_savings = None  # Huffman bits saved by the last encode()
+        # measurement-pass (extraBits = 0) savings/leftover of the last
+        # reservoir-mode encode — the numbers that actually drove the
+        # reservoir replay, for exact stats reconstruction
+        # (pactpu.utils.metrics.collect_encode_stats)
+        self.last_measure = None
 
     def consts(self) -> dict:
         """Device-resident constant tables (uploaded once per Engine)."""
@@ -581,6 +592,7 @@ class Engine:
                 [np.asarray(o["leftover"]) for o in m_outs])[:b]
             extras[:b], _ = _reservoir_extras(
                 savings, leftover, cfg.reservoir_withdraw_divisor)
+            self.last_measure = (savings, leftover)
         outs = [finalize(a, jnp.asarray(extras[i:i + chunk]), consts)
                 for a, i in zip(analyses, range(0, b_pad, chunk))]
         return outs, b, analyses, extras, chunk

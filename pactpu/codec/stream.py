@@ -219,12 +219,18 @@ class StreamingDecoder:
         self._cfg: Optional[CodecConfig] = None
         self._carry: Optional[np.ndarray] = None     # overlapAndAdd (f32)
         self._blk_idx = 0              # global block counter (skip block 0)
+        self._flushed = False
 
     @property
     def sample_rate(self) -> Optional[int]:
         return self._cfg.sample_rate if self._cfg else None
 
     def push(self, data: bytes) -> np.ndarray:
+        # after a (possibly padded) flush the carry has been emitted and
+        # int16-rounded — decoding further blocks from it would silently
+        # diverge from batch Engine.decode, so fail loudly instead
+        if self._flushed:
+            raise RuntimeError("push after flush")
         self._buf.extend(data)
         if self._cfg is None:
             try:
@@ -247,6 +253,9 @@ class StreamingDecoder:
     def flush(self) -> np.ndarray:
         """Drain buffered blocks and return their PCM plus the final
         overlap-add half block (reference codec/pacfile.py:171-178)."""
+        if self._flushed:
+            raise RuntimeError("flush called twice")
+        self._flushed = True
         if self._cfg is None:
             return np.zeros((0, 2), np.int16)
         parts = []
@@ -350,7 +359,8 @@ class StreamingDecoder:
             header=np.frombuffer(header, np.uint8),
             carry=(self._carry if self._carry is not None
                    else np.zeros((0,), np.float32)),
-            scalars=np.asarray([self._blk_idx], np.int64)))
+            scalars=np.asarray([self._blk_idx, int(self._flushed)],
+                               np.int64)))
 
     @classmethod
     def restore(cls, state: bytes, fmt: str = "wak",
@@ -366,4 +376,5 @@ class StreamingDecoder:
             dec._carry = d["carry"].astype(np.float32).reshape(
                 2, cfg.n_mdct_lines)
         dec._blk_idx = int(d["scalars"][0])
+        dec._flushed = bool(d["scalars"][1]) if d["scalars"].size > 1 else False
         return dec

@@ -59,6 +59,13 @@ def encode_select(symbols: jax.Array, line_bits: jax.Array,
     if tables is None:
         tables = load_tables()
     lengths_np, codes_np, esc_len_np, esc_code_np = tables
+    # code lengths pack into 5-bit fields below; a >31-bit code (possible
+    # only with freshly trained tables — huffman_train refuses to build
+    # them, but tables= accepts arbitrary arrays) must fail loudly here
+    # rather than encode garbage
+    if isinstance(lengths_np, np.ndarray):
+        assert int(lengths_np.max(initial=0)) <= 31, \
+            "Huffman code lengths > 31 bits cannot be packed"
     tab_lens = jnp.asarray(lengths_np)        # [10, S]
     tab_codes = jnp.asarray(codes_np)
     esc_len = jnp.asarray(esc_len_np)         # [10]

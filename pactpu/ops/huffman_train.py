@@ -116,6 +116,15 @@ def build_table(freqs: np.ndarray, low_freq: int = LOW_FREQ):
             continue
         stack.append((left, code << 1, depth + 1))       # first popped -> 0
         stack.append((right, (code << 1) | 1, depth + 1))
+    # encode_select packs code lengths into 5-bit fields; a depth > 31 would
+    # silently corrupt bitstreams, so refuse to build such a table (a corpus
+    # skewed enough to produce one needs its low_freq cutoff raised)
+    max_len = max(int(lengths.max(initial=0)), esc_len)
+    if max_len > 31:
+        raise ValueError(
+            f"Huffman table has a {max_len}-bit code; the codec supports "
+            "code lengths up to 31 bits — raise low_freq to flatten the "
+            "tail of the symbol distribution")
     return lengths, codes, esc_len, esc_code
 
 

@@ -106,13 +106,10 @@ class CodecConfig:
 
     # Bit-reservoir trickle: fraction of the deposit withdrawn per block in
     # compat mode (reference codec/Huffman.py:363-371 withdraws 1/100).
+    # The rate-control *policy* (cbr / reservoir / exact) is the Engine's
+    # `rate_mode` constructor argument — it is runtime behavior, not stream
+    # format, so it does not live in this (format-defining) config.
     reservoir_withdraw_divisor: int = 100
-
-    # Rate-control policy: "trickle" reproduces the reference's sequential 1%
-    # reservoir; "two_pass" redistributes measured Huffman savings globally
-    # (a TPU-friendly, strictly-parallel policy that stays format-compatible
-    # because the budget never appears in the bitstream).
-    rate_control: str = "two_pass"
 
     @property
     def full_block_size(self) -> int:

@@ -61,17 +61,30 @@ class EncodeStats:
 
 
 def collect_encode_stats(out: Dict[str, np.ndarray], n_blocks: int,
-                         cfg) -> EncodeStats:
+                         cfg, measure=None) -> EncodeStats:
     """Build EncodeStats from `Engine.encode_arrays` output.
 
     Works with both the device-packed output (words/nbits carry exact
     payload bits) and the host-pack output (bits reconstructed from the
-    allocation + code lengths)."""
+    allocation + code lengths).
+
+    measure: optional (savings, leftover) from the engine's reservoir
+    measurement pass (`Engine.last_measure`) — the extraBits = 0 numbers
+    that actually drove the reservoir decisions.  When given, the reported
+    extra_bits/deposit trajectory is an exact replay; without it the
+    trajectory is RE-DERIVED from the final-pass savings/leftover (computed
+    with extraBits already applied), which can differ slightly from what
+    was really granted."""
     from pactpu.codec.engine import _reservoir_extras
 
     b = n_blocks
     savings = np.asarray(out["savings"], np.int64)[:b]
     leftover = np.asarray(out["leftover"], np.int64)[:b]
+    if measure is not None:
+        m_savings = np.asarray(measure[0], np.int64)[:b]
+        m_leftover = np.asarray(measure[1], np.int64)[:b]
+    else:
+        m_savings, m_leftover = savings, leftover
     lrms = np.asarray(out["lrms"])[:b]
     bits = np.asarray(out["bits"], np.int64)[:b]          # [B, 2, bands]
     n_lines = np.asarray(cfg.band_layout.n_lines, np.int64)
@@ -87,8 +100,9 @@ def collect_encode_stats(out: Dict[str, np.ndarray], n_blocks: int,
         bpc = lens.sum(-1) + signs.sum(-1) + side
 
     # reservoir trajectory: replay the deposit/withdraw policy over the
-    # measured savings/leftovers (reference codec/Huffman.py:353-371)
-    extras, _ = _reservoir_extras(savings, leftover,
+    # measurement-pass savings/leftovers when available, else over the
+    # final-pass numbers (reference codec/Huffman.py:353-371)
+    extras, _ = _reservoir_extras(m_savings, m_leftover,
                                   cfg.reservoir_withdraw_divisor)
     deposit = np.zeros(b, np.int64)
     d = 0
@@ -98,7 +112,7 @@ def collect_encode_stats(out: Dict[str, np.ndarray], n_blocks: int,
             d -= d // cfg.reservoir_withdraw_divisor
         elif d < 0:
             d = 0
-        d += int(savings[t].sum())
+        d += int(m_savings[t].sum())
 
     transmit = bits > 0
     mant_mean = np.where(transmit, bits, 0).sum(0) / np.maximum(
@@ -168,4 +182,4 @@ def encode_stats_for_file(path: str, rate_mode: str = "reservoir",
     eng = Engine(cfg=cfg, rate_mode=rate_mode)
     eng.cfg = dc.replace(eng.cfg, sample_rate=wav.sample_rate)
     out, b = eng.encode_arrays(wav.samples)
-    return collect_encode_stats(out, b, eng.cfg)
+    return collect_encode_stats(out, b, eng.cfg, measure=eng.last_measure)
