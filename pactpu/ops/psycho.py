@@ -211,12 +211,17 @@ def masked_threshold(x: jax.Array, drop_db: jax.Array, fs: int,
 def band_max(values: jax.Array, layout, fill: float = -96.0) -> jax.Array:
     """Per-scale-factor-band max over MDCT lines: [..., lines] -> [..., bands]
     (the band reduction of reference CalcSMRs / calcStereoSMR,
-    psychoac.py:253-318, 458-504). Empty bands yield `fill`."""
+    psychoac.py:253-318, 458-504).  ONLY empty bands yield `fill`; non-empty
+    bands carry their true max even below `fill` (the reference assigns
+    `np.max(...)` unconditionally — seeding the scatter-max with `fill`
+    would silently clamp deeply-masked bands)."""
     seg = jnp.asarray(layout.line_to_band)
     n_bands = layout.n_bands
     flat = values.reshape(-1, values.shape[-1])
-    out = jnp.full((flat.shape[0], n_bands), fill, values.dtype)
+    out = jnp.full((flat.shape[0], n_bands), -jnp.inf, values.dtype)
     out = out.at[:, seg].max(flat)
+    empty = jnp.asarray(layout.n_lines_array == 0)
+    out = jnp.where(empty[None, :], jnp.asarray(fill, values.dtype), out)
     return out.reshape(values.shape[:-1] + (n_bands,))
 
 
