@@ -715,8 +715,10 @@ class Engine:
     def decode(self, data: bytes) -> tuple[int, np.ndarray]:
         """Full stream -> (sample_rate, int16 [n, 2]), reproducing the
         reference driver's first-block skip and final overlap-add flush
-        (reference codec/pacfile.py:484-487, 171-178)."""
-        cfg, _num_samples, off = rc.read_header(data)
+        (reference codec/pacfile.py:484-487, 171-178), trimmed to the
+        header's numSamples (the length the reference's decoded WAV
+        declares, pacfile.py:231-271 incl. the Q6 padding quirk)."""
+        cfg, num_samples, off = rc.read_header(data)
         half = cfg.n_mdct_lines
         huff = self.fmt == "wak"
         parsed = native.unpack_file(
@@ -780,5 +782,5 @@ class Engine:
         else:
             flush = np.asarray(q_ops.float_to_pcm16(carry))
         audio = np.concatenate([ola[1:b], flush[None]], axis=0)
-        pcm = audio.transpose(1, 0, 2).reshape(2, -1).T.copy()
+        pcm = audio.transpose(1, 0, 2).reshape(2, -1).T[:num_samples].copy()
         return cfg.sample_rate, pcm

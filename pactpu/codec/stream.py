@@ -220,6 +220,10 @@ class StreamingDecoder:
         self._carry: Optional[np.ndarray] = None     # overlapAndAdd (f32)
         self._blk_idx = 0              # global block counter (skip block 0)
         self._flushed = False
+        # decode-length parity: output is trimmed to the header's numSamples
+        # (reference pacfile.py:231-271), matching Engine.decode
+        self._num_samples = 0
+        self._emitted = 0
 
     @property
     def sample_rate(self) -> Optional[int]:
@@ -234,10 +238,11 @@ class StreamingDecoder:
         self._buf.extend(data)
         if self._cfg is None:
             try:
-                cfg, _n, off = rc.read_header(bytes(self._buf))
+                cfg, n_samp, off = rc.read_header(bytes(self._buf))
             except (struct.error, ValueError, IndexError):
                 return np.zeros((0, 2), np.int16)    # header incomplete
             self._cfg = cfg
+            self._num_samples = int(n_samp)
             self._eng = Engine(cfg=cfg, fmt=self._fmt,
                                chunk_blocks=self._chunk)
             self._carry = np.zeros((2, cfg.n_mdct_lines), np.float32)
@@ -265,8 +270,15 @@ class StreamingDecoder:
             self._pending = []
             parts.append(self._decode_batch(payload, b, allow_pad=True))
         tail = np.asarray(q_ops.float_to_pcm16(jnp.asarray(self._carry)))
-        parts.append(np.ascontiguousarray(tail.T))
+        parts.append(self._clip(np.ascontiguousarray(tail.T)))
         return np.concatenate(parts)
+
+    def _clip(self, pcm: np.ndarray) -> np.ndarray:
+        """Trim emitted PCM to the header's numSamples total."""
+        rem = max(0, self._num_samples - self._emitted)
+        pcm = pcm[:rem]
+        self._emitted += pcm.shape[0]
+        return pcm
 
     def _split_blocks(self) -> None:
         """Move complete blocks (2 uint32-length-prefixed channel payloads,
@@ -347,7 +359,7 @@ class StreamingDecoder:
         skip = 1 if self._blk_idx == 0 else 0
         self._blk_idx += b
         pcm = ola[skip:b].transpose(1, 0, 2).reshape(2, -1).T
-        return np.ascontiguousarray(pcm)
+        return self._clip(np.ascontiguousarray(pcm))
 
     # -- checkpoint/resume -------------------------------------------------
 
@@ -359,7 +371,8 @@ class StreamingDecoder:
             header=np.frombuffer(header, np.uint8),
             carry=(self._carry if self._carry is not None
                    else np.zeros((0,), np.float32)),
-            scalars=np.asarray([self._blk_idx, int(self._flushed)],
+            scalars=np.asarray([self._blk_idx, int(self._flushed),
+                                self._num_samples, self._emitted],
                                np.int64)))
 
     @classmethod
@@ -376,5 +389,7 @@ class StreamingDecoder:
             dec._carry = d["carry"].astype(np.float32).reshape(
                 2, cfg.n_mdct_lines)
         dec._blk_idx = int(d["scalars"][0])
-        dec._flushed = bool(d["scalars"][1]) if d["scalars"].size > 1 else False
+        dec._flushed = bool(d["scalars"][1])
+        dec._num_samples = int(d["scalars"][2])
+        dec._emitted = int(d["scalars"][3])
         return dec

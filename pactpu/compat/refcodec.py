@@ -831,9 +831,12 @@ def encode_file(pcm: np.ndarray, sample_rate: int,
 
 def decode_file(data: bytes) -> Tuple[int, np.ndarray]:
     """Returns (sample_rate, int16 [n, 2]) decoded like the reference
-    driver (first block skipped, final OLA half flushed)."""
+    driver (first block skipped, final OLA half flushed), trimmed to the
+    header's numSamples — the length the reference's decoded WAV declares
+    (reference codec/pacfile.py:231-271, pcmfile.py:103-115; the block loop
+    emits whole blocks but the output header claims numSamples)."""
     from pactpu.codec.wav import float_to_pcm16_np
-    cfg, _num_samples, off = read_header(data)
+    cfg, num_samples, off = read_header(data)
     tables = HuffmanTables.load()
     half = cfg.n_mdct_lines
     ola = np.zeros((2, half), dtype=np.float64)
@@ -850,5 +853,5 @@ def decode_file(data: bytes) -> Tuple[int, np.ndarray]:
             continue
         chunks.append(block_out)
     chunks.append(ola)  # final overlap-and-add flush
-    audio = np.concatenate(chunks, axis=1)  # [2, n]
+    audio = np.concatenate(chunks, axis=1)[:, :num_samples]  # [2, n]
     return cfg.sample_rate, float_to_pcm16_np(audio).T.copy()

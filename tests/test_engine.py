@@ -54,9 +54,8 @@ def test_stream_interop_engine_to_oracle(engine_stream):
     eng = Engine()
     _, pcm_eng = eng.decode(engine_stream)
     _, pcm_oracle = rc.decode_file(engine_stream)
-    n = min(len(pcm_eng), len(pcm_oracle))
-    diff = np.abs(pcm_eng[:n].astype(np.int32)
-                  - pcm_oracle[:n].astype(np.int32))
+    assert len(pcm_eng) == len(pcm_oracle)  # both trim to header numSamples
+    diff = np.abs(pcm_eng.astype(np.int32) - pcm_oracle.astype(np.int32))
     assert diff.max() <= 1  # f32 vs f64 IMDCT rounding
 
 
@@ -67,8 +66,8 @@ def test_engine_decodes_golden_reference_stream(piano):
     gold = open(f"{REFERENCE}/coded/piano_test2.wak", "rb").read()
     _, pcm = Engine().decode(gold)
     gwav = read_wav(f"{REFERENCE}/outputs/piano_test2.wav").samples
-    n = min(len(pcm), len(gwav))
-    diff = np.abs(pcm[:n].astype(np.int32) - gwav[:n].astype(np.int32))
+    assert len(pcm) == len(gwav)  # decode-length parity with the reference
+    diff = np.abs(pcm.astype(np.int32) - gwav.astype(np.int32))
     assert diff.max() <= 1
     assert float(np.mean(diff > 0)) < 2e-3
 

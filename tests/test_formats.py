@@ -24,8 +24,8 @@ def test_decode_golden_baseline_pac(name):
         data = f.read()
     _, pcm = eng.decode(data)
     gold = read_wav(f"{REFERENCE}/outputs/{name}.wav").samples
-    n = min(len(pcm), len(gold))
-    diff = np.abs(pcm[:n].astype(np.int32) - gold[:n].astype(np.int32))
+    assert len(pcm) == len(gold)  # decode-length parity with the reference
+    diff = np.abs(pcm.astype(np.int32) - gold.astype(np.int32))
     assert diff.max() <= 1
     assert float(np.mean(diff > 0)) < 2e-3
 

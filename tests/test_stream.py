@@ -92,9 +92,10 @@ def test_roundtrip_through_streams(pcm):
     stream = enc.header(pcm.shape[0]) + enc.push(pcm) + enc.flush()
     dec = StreamingDecoder()
     out = np.concatenate([dec.push(stream), dec.flush()])
-    # stream output covers whole blocks; compare the original sample span
+    # output trims to the header's numSamples == the input length here
+    # (6*1024+123 is not block-aligned, so the Q6 quirk adds no padding)
     n = pcm.shape[0]
-    assert out.shape[0] >= n
+    assert out.shape[0] == n
     err = out[:n].astype(np.float64) - pcm.astype(np.float64)
     snr = 10 * np.log10(np.sum(pcm.astype(np.float64) ** 2)
                         / max(np.sum(err ** 2), 1e-9))
