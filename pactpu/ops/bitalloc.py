@@ -23,8 +23,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_NEG = jnp.float32(-1e30)
+# numpy, not jnp: a module-level jnp scalar would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize (it must
+# run before any backend init — pactpu.parallel.cluster)
+_NEG = np.float32(-1e30)
 
 
 def water_fill(total_bits: jax.Array, max_mant_bits: int,

@@ -1,0 +1,207 @@
+"""Multi-host distribution: jax.distributed entry + global-mesh encoding.
+
+The reference is one Python process iterating blocks serially
+(reference codec/pacfile.py:475-495).  The TPU framework scales the same
+work across hosts the jax way (SURVEY.md §5 "Distributed communication
+backend"): every process calls `initialize()` (a `jax.distributed`
+wrapper), after which `jax.devices()` spans the whole cluster and ONE
+`shard_map` program encodes a file's block-stream over the global mesh —
+the 1024-sample framing halo crosses host boundaries as a `ppermute` over
+ICI/DCN and the Huffman-trainer histogram reduces with a global `psum`
+(pactpu.parallel.shard).
+
+Host-side responsibilities stay local: each process downloads only its
+addressable block range and serializes only that range's payload bytes
+(`ShardResult`); the caller concatenates ranges in block order
+(`assemble_stream`) — bitstream bytes never cross hosts through JAX.
+
+Rate control under distribution: "cbr" is process-count-invariant (bytes
+are identical for any mesh/process layout).  "reservoir" runs the engine's
+two-pass policy *per process* over its own contiguous block range — the
+documented relaxation of the reference's file-serial reservoir (a global
+reservoir would serialize the cluster; per-range replay converges to the
+same rate behavior, SURVEY.md §7 hard parts).  The `rate_mode="exact"`
+semantics are inherently serial and only offered single-process
+(pactpu.codec.engine).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pactpu import native
+from pactpu.codec.engine import _reservoir_extras, engine_consts_np
+from pactpu.compat import refcodec as rc
+from pactpu.parallel import shard
+from pactpu.utils.config import CodecConfig
+
+_initialized = False
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None,
+               local_device_ids=None) -> bool:
+    """Join (or start) the JAX distributed cluster.
+
+    Arguments default to the PACTPU_COORDINATOR / PACTPU_NUM_PROCESSES /
+    PACTPU_PROCESS_ID environment variables, and past those to
+    `jax.distributed.initialize`'s own auto-detection (TPU pods, Slurm,
+    Open MPI).  Returns True when a multi-process cluster was joined,
+    False for single-process operation (no coordinator configured) —
+    every other API here works identically in both cases.
+
+    Must be called before any JAX computation (jax.distributed contract).
+    """
+    global _initialized
+    if _initialized:
+        return jax.process_count() > 1
+    coordinator_address = coordinator_address or os.environ.get(
+        "PACTPU_COORDINATOR")
+    if num_processes is None and "PACTPU_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["PACTPU_NUM_PROCESSES"])
+    if process_id is None and "PACTPU_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["PACTPU_PROCESS_ID"])
+    if coordinator_address is None and num_processes is None:
+        # single process: nothing to join (jax.distributed would try — and
+        # fail — cluster auto-detection on a bare machine)
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id,
+                               local_device_ids=local_device_ids)
+    _initialized = True
+    return jax.process_count() > 1
+
+
+def shutdown() -> None:
+    global _initialized
+    if _initialized:
+        jax.distributed.shutdown()
+        _initialized = False
+
+
+@dataclasses.dataclass
+class ShardResult:
+    """One process's share of a distributed encode."""
+
+    header: bytes          # stream header (identical on every process)
+    payload: bytes         # payload bytes of this process's block range
+    block_start: int       # first global block index of the range
+    n_blocks: int          # real coded blocks in `payload`
+    n_blocks_total: int    # real coded blocks in the whole stream
+    histogram: np.ndarray  # global (psum'd) Huffman symbol histogram
+    savings: int           # Huffman bits saved in this range
+
+
+def assemble_stream(header: bytes,
+                    parts: List[Tuple[int, bytes]]) -> bytes:
+    """Concatenate per-range payloads (block_start, payload) in block
+    order into the final stream."""
+    return header + b"".join(p for _, p in sorted(parts))
+
+
+def _local_blocks(arr: jax.Array) -> Tuple[np.ndarray, int]:
+    """Gather this process's addressable shards of a block-sharded global
+    array into one contiguous numpy array; returns (array, global start).
+
+    Block ranges are process-contiguous because `jax.devices()` orders
+    devices by process."""
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    data = np.concatenate([np.asarray(s.data) for s in shards])
+    return data, (shards[0].index[0].start or 0)
+
+
+def encode_distributed(pcm: np.ndarray, cfg: Optional[CodecConfig] = None,
+                       mesh: Optional[Mesh] = None,
+                       rate_mode: str = "reservoir") -> ShardResult:
+    """SPMD-encode a file's block-stream over the (multi-host) mesh.
+
+    pcm: int16 [n, 2], identical on every process (each host reads the
+    input; only device work and the final per-range payloads are
+    distributed).  Returns this process's `ShardResult`.
+    """
+    if rate_mode not in ("cbr", "reservoir"):
+        raise ValueError(f"unknown distributed rate mode {rate_mode!r}")
+    cfg = cfg or CodecConfig()
+    mesh = mesh or shard.make_mesh()
+    half = cfg.n_mdct_lines
+    n_dev = mesh.devices.size
+    n_blocks = -(-pcm.shape[0] // half)
+    b = n_blocks + 1                                   # + flush block
+    b_pad = -(-b // n_dev) * n_dev
+
+    # global PCM [2, (b_pad+1)*half]: block k's frame is samples
+    # [k*half, (k+2)*half) of the zero-led signal; the shard program's
+    # x_local carries each shard's blocks and the halo ppermute restores
+    # the frame overlap (shard._frames_with_halo)
+    glob = np.zeros((2, b_pad * half), np.int16)
+    n = min(pcm.shape[0], b_pad * half)
+    glob[:, :n] = pcm[:n].T
+
+    x_sharding = NamedSharding(mesh, P(None, shard.BLOCK_AXIS))
+    blocks_per_dev = b_pad // n_dev
+    dev_order = {d: i for i, d in enumerate(mesh.devices.flat)}
+    local_ids = sorted(dev_order[d] for d in mesh.devices.flat
+                       if d.process_index == jax.process_index())
+    my_lo = local_ids[0] * blocks_per_dev
+    my_hi = (local_ids[-1] + 1) * blocks_per_dev
+    x = jax.make_array_from_process_local_data(
+        x_sharding, glob[:, my_lo * half:my_hi * half],
+        global_shape=glob.shape)
+
+    consts = jax.device_put(
+        engine_consts_np(cfg),
+        jax.tree.map(lambda _: NamedSharding(mesh, P()),
+                     engine_consts_np(cfg)))
+    e_sharding = NamedSharding(mesh, P(shard.BLOCK_AXIS))
+
+    if rate_mode == "reservoir":
+        measure = shard.sharded_measure_fn(cfg, mesh)(x, consts)
+        savings, lo_s = _local_blocks(measure["savings"])
+        leftover, _ = _local_blocks(measure["leftover"])
+        assert lo_s == my_lo
+        # per-process reservoir replay over this process's own real blocks
+        real = np.clip(b - my_lo, 0, my_hi - my_lo)
+        extras_local = np.zeros(my_hi - my_lo, np.float32)
+        if real > 0:
+            ex, _ = _reservoir_extras(savings[:real], leftover[:real],
+                                      cfg.reservoir_withdraw_divisor)
+            extras_local[:real] = ex
+        extras = jax.make_array_from_process_local_data(
+            e_sharding, extras_local, global_shape=(b_pad,))
+    else:
+        extras = jax.make_array_from_process_local_data(
+            e_sharding, np.zeros(my_hi - my_lo, np.float32),
+            global_shape=(b_pad,))
+
+    out, hist = shard.sharded_encode_fn(cfg, mesh)(x, extras, consts)
+
+    local = {k: _local_blocks(v)[0] for k, v in out.items()}
+    real = int(np.clip(b - my_lo, 0, my_hi - my_lo))
+    payload = b""
+    savings_total = 0
+    if real > 0:
+        n_lines = np.asarray(cfg.band_layout.n_lines, np.int32)
+        r2 = lambda a: a.reshape(2 * real, *a.shape[2:])  # noqa: E731
+        h = lambda k: local[k][:real]  # noqa: E731
+        payload = native.pack_file(
+            n_lines, cfg.n_scale_bits, cfg.n_mant_size_bits,
+            cfg.n_table_id_bits,
+            r2(h("overall")), r2(h("tid")), r2(h("bits")), r2(h("sf")),
+            r2(h("sign")), r2(h("codes")), r2(h("lens")),
+            h("lrms").astype(np.int32))
+        savings_total = int(local["savings"][:real].sum())
+
+    header, _ = rc.write_header(cfg, pcm.shape[0])
+    return ShardResult(header=header, payload=payload, block_start=my_lo,
+                       n_blocks=real, n_blocks_total=b,
+                       histogram=np.asarray(hist), savings=savings_total)

@@ -48,10 +48,32 @@ def _shard_map(f, *, mesh, in_specs, out_specs):
 
 
 def make_mesh(devices=None) -> Mesh:
-    """1-D mesh over all (or the given) devices, block-parallel axis."""
+    """1-D mesh over all (or the given) devices, block-parallel axis.
+
+    With `jax.distributed` initialized, `jax.devices()` spans every process
+    of the cluster (ordered process-contiguously), so the same call builds
+    the multi-host global mesh (pactpu.parallel.cluster)."""
     if devices is None:
         devices = jax.devices()
     return Mesh(np.asarray(devices), (BLOCK_AXIS,))
+
+
+def _frames_with_halo(x_local: jax.Array, half: int, n_dev: int) -> jax.Array:
+    """Shard-local 50%-overlap framing with the 1-block left-halo exchange:
+    each shard sends its last `half` samples to its right neighbor over
+    ICI/DCN (one ppermute); shard 0's halo is the leading zero priorBlock
+    (reference codec/pacfile.py:264-282).  [2, B_local*half] ->
+    [B_local, 2, 2*half]."""
+    halo = jax.lax.ppermute(
+        x_local[:, -half:], BLOCK_AXIS,
+        [(i, (i + 1) % n_dev) for i in range(n_dev)])
+    halo = jnp.where(jax.lax.axis_index(BLOCK_AXIS) == 0,
+                     jnp.zeros_like(halo), halo)
+    y = jnp.concatenate([halo, x_local], axis=1)
+    b_local = x_local.shape[1] // half
+    idx = (jnp.arange(b_local)[:, None] * half
+           + jnp.arange(2 * half)[None, :])
+    return jnp.take(y, idx, axis=1).transpose(1, 0, 2)
 
 
 @lru_cache(maxsize=8)
@@ -71,19 +93,7 @@ def sharded_encode_fn(cfg: CodecConfig, mesh: Mesh):
     consts_np = engine_consts_np(cfg)
 
     def step(x_local: jax.Array, extra_local: jax.Array, consts: dict):
-        # left halo: my last block goes to my right neighbor; shard 0's
-        # halo is the leading zero priorBlock (reference pacfile.py:264-268)
-        halo = jax.lax.ppermute(
-            x_local[:, -half:], BLOCK_AXIS,
-            [(i, (i + 1) % n_dev) for i in range(n_dev)])
-        halo = jnp.where(jax.lax.axis_index(BLOCK_AXIS) == 0,
-                         jnp.zeros_like(halo), halo)
-        y = jnp.concatenate([halo, x_local], axis=1)
-        b_local = x_local.shape[1] // half
-        idx = (jnp.arange(b_local)[:, None] * half
-               + jnp.arange(2 * half)[None, :])
-        frames = jnp.take(y, idx, axis=1).transpose(1, 0, 2)
-
+        frames = _frames_with_halo(x_local, half, n_dev)
         out = body(frames, extra_local, consts)
 
         # distributed Huffman statistics: per-shard histogram of the unsigned
@@ -101,6 +111,30 @@ def sharded_encode_fn(cfg: CodecConfig, mesh: Mesh):
     out_specs = (P(BLOCK_AXIS), P())
     fn = _shard_map(step, mesh=mesh, in_specs=in_specs,
                     out_specs=out_specs)
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=8)
+def sharded_measure_fn(cfg: CodecConfig, mesh: Mesh):
+    """SPMD reservoir measurement pass: the same halo-exchanged encode with
+    extraBits = 0, returning only (savings, leftover) per block — XLA
+    dead-code-eliminates the payload tail.  Feeds the per-shard reservoir
+    replay in pactpu.parallel.cluster.encode_distributed (the distributed
+    analogue of the Engine's two-pass rate control)."""
+    half = cfg.n_mdct_lines
+    body = encode_body(cfg, measure_only=True)
+    n_dev = mesh.devices.size
+    consts_np = engine_consts_np(cfg)
+
+    def step(x_local: jax.Array, consts: dict):
+        frames = _frames_with_halo(x_local, half, n_dev)
+        zeros = jnp.zeros(frames.shape[0], jnp.float32)
+        return body(frames, zeros, consts)
+
+    consts_spec = jax.tree.map(lambda _: P(), consts_np)
+    fn = _shard_map(step, mesh=mesh,
+                    in_specs=(P(None, BLOCK_AXIS), consts_spec),
+                    out_specs=P(BLOCK_AXIS))
     return jax.jit(fn)
 
 

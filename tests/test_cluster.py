@@ -1,0 +1,99 @@
+"""Multi-host distribution via a local fake cluster (SURVEY.md §4/§5).
+
+Two processes x 2 virtual CPU devices form a 4-device global mesh through
+`jax.distributed`; the SPMD encode's halo ppermute and histogram psum cross
+the process boundary.  The assembled stream must equal the single-process
+Engine's byte-for-byte (cbr rate control is process-count-invariant), and
+the psum'd Huffman histogram must be globally consistent.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.cluster_worker import make_test_pcm
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_fake_cluster_matches_single_process(tmp_path):
+    nproc = 2
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tests", "cluster_worker.py"),
+         str(pid), str(nproc), str(port), str(tmp_path)],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for pid in range(nproc)]
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err[-4000:]
+
+    parts = []
+    hists = []
+    header = None
+    total = None
+    for pid in range(nproc):
+        with np.load(tmp_path / f"part_{pid}.npz") as z:
+            parts.append((int(z["block_start"]), z["payload"].tobytes()))
+            hists.append(z["histogram"])
+            header = z["header"].tobytes()
+            total = int(z["n_blocks_total"])
+
+    # the psum'd histogram is identical on every process
+    np.testing.assert_array_equal(hists[0], hists[1])
+
+    # assembled multi-process stream == single-process engine stream
+    from pactpu.codec.engine import Engine
+    from pactpu.parallel.cluster import assemble_stream
+    pcm = make_test_pcm()
+    stream = assemble_stream(header, parts)
+    ref = Engine(rate_mode="cbr", device_pack=False).encode(pcm)
+    assert total == -(-pcm.shape[0] // 1024) + 1
+    assert stream == ref
+
+    # and the global histogram matches a host bincount of the stream's
+    # symbols (via the single-process engine's return_syms path)
+    import jax.numpy as jnp
+    from pactpu.codec.engine import (encode_body, engine_consts_np,
+                                     frame_blocks)
+    from pactpu.utils.config import CodecConfig
+    cfg = CodecConfig()
+    frames = frame_blocks(jnp.asarray(pcm.T.astype(np.int16)),
+                          cfg.n_mdct_lines, total - 1)
+    out = encode_body(cfg, return_syms=True)(
+        frames, jnp.zeros(total, jnp.float32), engine_consts_np(cfg))
+    syms = np.asarray(out["syms"]).reshape(-1)
+    # the mesh pads to a device multiple with all-zero blocks (the flush
+    # block before them is itself silent); count their symbols too
+    pad_total = -(-total // 4) * 4
+    if pad_total > total:
+        zf = jnp.zeros((pad_total - total, 2, 2 * cfg.n_mdct_lines),
+                       jnp.int16)
+        zout = encode_body(cfg, return_syms=True)(
+            zf, jnp.zeros(pad_total - total, jnp.float32),
+            engine_consts_np(cfg))
+        syms = np.concatenate([syms, np.asarray(zout["syms"]).reshape(-1)])
+    expect = np.bincount(syms[syms >= 0], minlength=1 << 15)
+    np.testing.assert_array_equal(hists[0], expect)

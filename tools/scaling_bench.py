@@ -1,0 +1,176 @@
+"""Scaling-efficiency benchmark: sharded encode over 1/2/4/8 devices.
+
+Measures the SPMD block-sharded encode (pactpu.parallel.shard, the same
+program the multi-host path runs) over growing mesh sizes and writes
+SCALING.md with blocks/s and parallel efficiency.
+
+Without multi-chip TPU hardware the meshes are virtual CPU devices
+(XLA_FLAGS=--xla_force_host_platform_device_count=N), with the process
+pinned to min(N, cores) cores so an n-device mesh gets n "chips" and the
+1-device baseline cannot silently span every core.  Wall-clock
+speedup is then capped by the host's physical cores; the efficiency column
+is reported against min(n_devices, n_cores) — the host's ideal — which
+isolates what the benchmark can actually measure here: the *overhead the
+sharded program adds* (halo ppermute, histogram psum, per-shard batch
+shrinkage).  On a real pod the same program's per-step collective volume
+is ~4 KB/boundary (halo) + 128 KB (histogram psum) against ~10 MB of
+per-shard compute inputs, so measured overhead on this host is the
+binding figure for the >=80 % scaling target (BASELINE.md).
+
+Usage: python tools/scaling_bench.py [--blocks 256] [--sizes 1,2,4,8]
+Writes SCALING.md at the repo root and prints one JSON line per mesh size.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def _measure(n_dev: int, blocks: int, reps: int) -> None:
+    """Child-process measurement: one mesh size, prints one JSON line."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pactpu.codec.engine import engine_consts_np
+    from pactpu.parallel import shard
+    from pactpu.utils.config import CodecConfig
+
+    cfg = CodecConfig()
+    half = cfg.n_mdct_lines
+    devices = jax.devices()[:n_dev]
+    mesh = shard.make_mesh(devices)
+
+    rng = np.random.default_rng(0)
+    t = np.arange(blocks * half) / cfg.sample_rate
+    x = 0.3 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.standard_normal(
+        blocks * half)
+    y = 0.8 * x + 0.01 * rng.standard_normal(blocks * half)
+    pcm = np.clip(np.stack([x, y]) * 20000, -32767, 32767).astype(np.int16)
+
+    xs = jax.device_put(jnp.asarray(pcm),
+                        NamedSharding(mesh, P(None, shard.BLOCK_AXIS)))
+    extra = jax.device_put(jnp.zeros(blocks, jnp.float32),
+                           NamedSharding(mesh, P(shard.BLOCK_AXIS)))
+    consts = jax.device_put(
+        engine_consts_np(cfg),
+        jax.tree.map(lambda _: NamedSharding(mesh, P()),
+                     engine_consts_np(cfg)))
+
+    fn = shard.sharded_encode_fn(cfg, mesh)
+    out, hist = fn(xs, extra, consts)          # warmup + compile
+    jax.block_until_ready((out["bits"], hist))
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out, hist = fn(xs, extra, consts)
+        jax.block_until_ready((out["bits"], hist))
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "n_devices": n_dev,
+        "blocks": blocks,
+        "reps": reps,
+        "seconds": round(dt, 4),
+        "blocks_per_s": round(blocks * reps / dt, 2),
+    }))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--blocks", type=int, default=256)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--sizes", default="1,2,4,8")
+    ap.add_argument("--child", type=int, default=0)
+    ap.add_argument("--out", default=os.path.join(REPO, "SCALING.md"))
+    args = ap.parse_args()
+
+    if args.child:
+        _measure(args.child, args.blocks, args.reps)
+        return 0
+
+    sizes = [int(s) for s in args.sizes.split(",")]
+    n_cores = os.cpu_count() or 1
+    have_taskset = os.path.exists("/usr/bin/taskset")
+    results = []
+    for n in sizes:
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)   # force CPU (axon plugin)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n}"
+        # pin the child to min(n, cores) cores so an n-device mesh gets n
+        # "chips": without pinning the 1-device baseline already spans
+        # every core (XLA CPU shares one intra-op pool) and multi-device
+        # speedup is unmeasurable
+        pin = []
+        if have_taskset:
+            pin = ["taskset", "-c", ",".join(
+                str(c) for c in range(min(n, n_cores)))]
+        out = subprocess.run(
+            pin + [sys.executable, os.path.abspath(__file__),
+                   "--child", str(n),
+                   "--blocks", str(args.blocks), "--reps", str(args.reps)],
+            env=env, capture_output=True, text=True, timeout=1500, cwd=REPO)
+        line = None
+        for ln in reversed((out.stdout or "").strip().splitlines()):
+            try:
+                line = json.loads(ln)
+                break
+            except json.JSONDecodeError:
+                continue
+        if line is None:
+            print(f"mesh size {n} failed:\n{out.stderr[-2000:]}",
+                  file=sys.stderr)
+            return 1
+        results.append(line)
+        print(json.dumps(line))
+
+    base = results[0]["blocks_per_s"]
+    lines = [
+        "# SCALING — block-sharded SPMD encode over an n-device mesh",
+        "",
+        "Generated by `tools/scaling_bench.py` (virtual CPU devices, the",
+        f"process pinned to min(n, cores) cores; this host has {n_cores} "
+        "physical cores, so",
+        f"wall-clock speedup is capped at {n_cores}x — the `eff(host)` "
+        "column is",
+        "normalized to min(n, cores), isolating the sharding overhead the",
+        "program adds: halo ppermute + histogram psum + per-shard batch",
+        "shrinkage.  Multi-host correctness of the same program is covered",
+        "by tests/test_cluster.py (2-process fake cluster, byte-equal",
+        "streams) and the driver's dryrun_multichip.",
+        "",
+        "| devices | blocks/s | speedup | eff(linear) | eff(host) |",
+        "|---|---|---|---|---|",
+    ]
+    for r in results:
+        n = r["n_devices"]
+        sp = r["blocks_per_s"] / base
+        eff = sp / n
+        eff_host = sp / min(n, n_cores)
+        lines.append(f"| {n} | {r['blocks_per_s']} | {sp:.2f}x "
+                     f"| {100 * eff:.0f}% | {100 * eff_host:.0f}% |")
+    lines += [
+        "",
+        f"Workload: {args.blocks} blocks (~{args.blocks * 1024 / 44100:.1f}"
+        " s of 44.1 kHz stereo), full Huffman+M/S encode path, device time",
+        "only (payload serialization is host-side and overlaps).",
+    ]
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
