@@ -34,8 +34,13 @@ t to t+1, codec/Huffman.py:353-371, codec/codec.py:229):
                with those extras.  This reproduces the reference's VBR
                behavior to second order while keeping every device op
                batch-parallel.
+- "exact":     the reference's exact sequential trajectory: per-allocation
+               Huffman cost tables precomputed in parallel + a tiny device
+               lax.scan over blocks (pactpu.codec.exact).  With
+               precision="f64" the engine byte-reproduces the reference
+               golden bitstreams.
 
-In both modes channel 0's allocation leftover funds channel 1 within the
+In all modes channel 0's allocation leftover funds channel 1 within the
 same block, as in the reference (codec/codec.py:258-260).
 """
 
@@ -83,16 +88,28 @@ PACK_WORDS_MAX = 968
 
 
 @lru_cache(maxsize=8)
-def engine_consts_np(cfg: CodecConfig) -> dict:
+def engine_consts_np(cfg: CodecConfig, precision: str = "f32") -> dict:
     """The large lookup tables the jitted engine consumes, as numpy arrays
     (device-put once per process by `Engine`): MDCT basis, psychoacoustic
-    spreading geometry, Huffman code tables."""
+    spreading geometry, Huffman code tables.
+
+    precision "f32" is the TPU fast path; "f64" feeds the exact
+    (golden-byte) mode — requires jax x64 to be enabled."""
     n = 2 * cfg.n_mdct_lines
+    dt = _dtype(precision)
     return dict(
-        basis=_mdct_basis_np(n).astype(np.float32),
-        psy=psycho._consts(n, cfg.sample_rate),
+        basis=_mdct_basis_np(n).astype(dt),
+        psy=psycho._consts(n, cfg.sample_rate, np.dtype(dt).name),
         tabs=huff_ops.load_tables(),
     )
+
+
+def _dtype(precision: str):
+    if precision == "f32":
+        return np.float32
+    if precision == "f64":
+        return np.float64
+    raise ValueError(f"unknown precision {precision!r}")
 
 
 def frame_blocks(x: jax.Array, half: int, n_blocks: int) -> jax.Array:
@@ -118,7 +135,7 @@ def frame_blocks_np(pcm: np.ndarray, half: int, b_pad: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=16)
-def analyze_body(cfg: CodecConfig):
+def analyze_body(cfg: CodecConfig, precision: str = "f32"):
     """The analysis front half of the encoder — window+MDCT, overall block
     scale, LRMS decision, stereo psychoacoustic SMRs — as a pure traceable
     `(frames i16[B, 2, 2N], consts) -> dict(mixed, smr, lrms, overall)`.
@@ -130,10 +147,11 @@ def analyze_body(cfg: CodecConfig):
     layout = cfg.band_layout
     half = cfg.n_mdct_lines
     fs = cfg.sample_rate
-    sine = np.asarray(sine_window(2 * half), np.float32)
+    dt = _dtype(precision)
+    sine = np.asarray(sine_window(2 * half), dt)
 
     def run(frames_i16: jax.Array, consts: dict):
-        frames = q_ops.pcm16_to_float(frames_i16)
+        frames = q_ops.pcm16_to_float(frames_i16, dt)
         sw = frames * sine[None, None, :]
         lines = mdct(sw, consts["basis"])
         overall = q_ops.scale_factor(
@@ -151,7 +169,7 @@ def analyze_body(cfg: CodecConfig):
 @lru_cache(maxsize=16)
 def finalize_body(cfg: CodecConfig, two_channel_chain: bool = True,
                   return_syms: bool = False, pack_words: int = 0,
-                  measure_only: bool = False):
+                  measure_only: bool = False, precision: str = "f32"):
     """The rate-control/quantize/entropy tail of the encoder:
     `(analysis dict from analyze_body, extra0 f32[B], consts) -> dict` —
     water-filling allocation, BFP quantization, Huffman table selection and
@@ -166,6 +184,7 @@ def finalize_body(cfg: CodecConfig, two_channel_chain: bool = True,
     seg = np.asarray(layout.line_to_band)
     max_mant = min(1 << cfg.n_mant_size_bits, cfg.max_mant_bits)
     budget = float(cfg.bit_budget())
+    dt = _dtype(precision)
 
     def run(analysis: dict, extra0: jax.Array, consts: dict):
         mixed = analysis["mixed"]
@@ -174,14 +193,14 @@ def finalize_body(cfg: CodecConfig, two_channel_chain: bool = True,
         overall = analysis["overall"].astype(jnp.int32)
         b = mixed.shape[0]
 
-        total0 = (jnp.float32(budget) + extra0.astype(jnp.float32)
+        total0 = (jnp.asarray(budget, dt) + extra0.astype(dt)
                   ).astype(jnp.int32)
         bits0, left0 = ba_ops.water_fill(
             total0, max_mant, n_lines, smr[:, 0], lrms,
             cfg.ms_stop_threshold_db, cfg.lr_stop_threshold_db)
-        extra1 = left0.astype(jnp.float32) if two_channel_chain else (
-            extra0.astype(jnp.float32))
-        total1 = (jnp.float32(budget) + extra1).astype(jnp.int32)
+        extra1 = left0.astype(dt) if two_channel_chain else (
+            extra0.astype(dt))
+        total1 = (jnp.asarray(budget, dt) + extra1).astype(jnp.int32)
         bits1, left1 = ba_ops.water_fill(
             total1, max_mant, n_lines, smr[:, 1], lrms,
             cfg.ms_stop_threshold_db, cfg.lr_stop_threshold_db)
@@ -239,7 +258,7 @@ def finalize_body(cfg: CodecConfig, two_channel_chain: bool = True,
 @lru_cache(maxsize=16)
 def encode_body(cfg: CodecConfig, two_channel_chain: bool = True,
                 return_syms: bool = False, pack_words: int = 0,
-                measure_only: bool = False):
+                measure_only: bool = False, precision: str = "f32"):
     """The full per-block encode computation as a pure traceable function
     `(frames i16[B, 2, 2N], extra0 f32[B], consts) -> dict of device
     arrays` — analyze_body composed with finalize_body.  Jitted directly
@@ -251,9 +270,9 @@ def encode_body(cfg: CodecConfig, two_channel_chain: bool = True,
     (pactpu.ops.bitpack) and returns `words` u32[B*2, pack_words] +
     `nbits` i32[B*2] instead of the per-line sign/code/length arrays —
     the download shrinks ~10x and the host only slices bytes."""
-    analyze = analyze_body(cfg)
+    analyze = analyze_body(cfg, precision)
     finalize = finalize_body(cfg, two_channel_chain, return_syms,
-                             pack_words, measure_only)
+                             pack_words, measure_only, precision)
 
     def run(frames_i16: jax.Array, extra0: jax.Array, consts: dict):
         return finalize(analyze(frames_i16, consts), extra0, consts)
@@ -263,18 +282,18 @@ def encode_body(cfg: CodecConfig, two_channel_chain: bool = True,
 
 @lru_cache(maxsize=16)
 def _encode_fn(cfg: CodecConfig, two_channel_chain: bool = True,
-               pack_words: int = 0):
+               pack_words: int = 0, precision: str = "f32"):
     return jax.jit(encode_body(cfg, two_channel_chain,
-                               pack_words=pack_words))
+                               pack_words=pack_words, precision=precision))
 
 
 @lru_cache(maxsize=16)
-def _chunk_analyze_fn(cfg: CodecConfig):
+def _chunk_analyze_fn(cfg: CodecConfig, precision: str = "f32"):
     """Chunk analysis program taking *raw* PCM: `(pcm i16[2, (B+1)*half],
     consts) -> analysis dict` (device-resident).  The 50%-overlap framing
     happens on device, so each chunk uploads (B+1)*half samples instead of
     B*2*half overlapped frames — half the tunnel traffic."""
-    body = analyze_body(cfg)
+    body = analyze_body(cfg, precision)
     half = cfg.n_mdct_lines
 
     def run(pcm: jax.Array, consts: dict):
@@ -289,9 +308,10 @@ def _chunk_analyze_fn(cfg: CodecConfig):
 
 @lru_cache(maxsize=16)
 def _finalize_fn(cfg: CodecConfig, pack_words: int = 0,
-                 measure_only: bool = False):
+                 measure_only: bool = False, precision: str = "f32"):
     return jax.jit(finalize_body(cfg, pack_words=pack_words,
-                                 measure_only=measure_only))
+                                 measure_only=measure_only,
+                                 precision=precision))
 
 
 @lru_cache(maxsize=16)
@@ -374,13 +394,14 @@ def _encode_baseline_fn(cfg: CodecConfig):
 
 
 @lru_cache(maxsize=16)
-def decode_body(cfg: CodecConfig):
+def decode_body(cfg: CodecConfig, precision: str = "f32"):
     """Pure traceable synthesis: quantized block arrays -> pre-overlap time
     samples; see `encode_body` for the jit/shard_map split."""
     layout = cfg.band_layout
     half = cfg.n_mdct_lines
     seg = np.asarray(layout.line_to_band)
-    sine = np.asarray(sine_window(2 * half), np.float32)
+    dt = _dtype(precision)
+    sine = np.asarray(sine_window(2 * half), dt)
 
     def run(ba: jax.Array, sf: jax.Array, mant: jax.Array,
             overall: jax.Array, lrms: jax.Array, consts: dict):
@@ -389,7 +410,8 @@ def decode_body(cfg: CodecConfig):
         Returns pre-overlap time samples f32[B, 2, 2*half]."""
         sf_l = sf[..., seg].astype(jnp.int32)
         nm_l = ba[..., seg].astype(jnp.int32)
-        vals = q_ops.bfp_dequantize(sf_l, mant, cfg.n_scale_bits, nm_l)
+        vals = q_ops.bfp_dequantize(sf_l, mant, cfg.n_scale_bits, nm_l,
+                                    dtype=dt)
         vals = vals * jnp.exp2(-overall[..., None].astype(vals.dtype))
 
         # Q1 aliasing: the reference decoder emits L' = M - S, R' = M
@@ -405,12 +427,13 @@ def decode_body(cfg: CodecConfig):
 
 
 @lru_cache(maxsize=16)
-def _decode_fn(cfg: CodecConfig):
-    return jax.jit(decode_body(cfg))
+def _decode_fn(cfg: CodecConfig, precision: str = "f32"):
+    return jax.jit(decode_body(cfg, precision))
 
 
 @lru_cache(maxsize=16)
-def _chunk_decode_packed_fn(cfg: CodecConfig, n_words: int):
+def _chunk_decode_packed_fn(cfg: CodecConfig, n_words: int,
+                            precision: str = "f32"):
     """Compact-upload chunk decoder: mantissa codes arrive as fixed-width
     MSB-first u32 word rows (native.repack_codes) instead of u16-per-line
     arrays — ~6x less host->device traffic on the bandwidth-limited link.
@@ -421,7 +444,7 @@ def _chunk_decode_packed_fn(cfg: CodecConfig, n_words: int):
     overall i8[B,2], lrms bool[B,nb], carry f32[2,half], consts)
     -> (pcm i16[B,2,half], carry')`."""
     from pactpu.ops import pallas_ops
-    body = decode_body(cfg)
+    body = decode_body(cfg, precision)
     half = cfg.n_mdct_lines
     seg = np.asarray(cfg.band_layout.line_to_band)
 
@@ -446,7 +469,7 @@ _WORD_BUCKETS = (32, 64, 96, 128, 192, 256, 384, 512)
 
 
 @lru_cache(maxsize=16)
-def _chunk_decode_fn(cfg: CodecConfig):
+def _chunk_decode_fn(cfg: CodecConfig, precision: str = "f32"):
     """Compact-I/O chunk decoder: `(ba i8[B,2,nb], sf i8[B,2,nb],
     mant u16[B,2,half], overall i8[B,2], lrms bool[B,nb],
     carry f32[2,half], consts) -> (pcm i16[B,2,half], carry')`.
@@ -454,7 +477,7 @@ def _chunk_decode_fn(cfg: CodecConfig):
     Synthesis + in-chunk overlap-add + 16-bit PCM conversion all on device;
     `carry` chains the OLA across chunks (the decoder's overlapAndAdd
     state, reference codec/pacfile.py:223-226)."""
-    body = decode_body(cfg)
+    body = decode_body(cfg, precision)
     half = cfg.n_mdct_lines
 
     def run(ba, sf, mant, overall, lrms, carry, consts):
@@ -519,14 +542,19 @@ class Engine:
     def __init__(self, cfg: Optional[CodecConfig] = None,
                  rate_mode: str = "reservoir", fmt: str = "wak",
                  chunk_blocks: Optional[int] = None,
-                 device_pack: Optional[bool] = None):
+                 device_pack: Optional[bool] = None,
+                 precision: str = "f32"):
         self.cfg = cfg or CodecConfig()
-        if rate_mode not in ("cbr", "reservoir"):
+        if rate_mode not in ("cbr", "reservoir", "exact"):
             raise ValueError(f"unknown rate mode {rate_mode!r}")
         if fmt not in ("wak", "pac"):
             raise ValueError(f"unknown format {fmt!r}")
+        if fmt == "pac" and rate_mode == "exact":
+            raise ValueError("the baseline .pac coder has no reservoir")
+        _dtype(precision)  # validate
         self.rate_mode = rate_mode
         self.fmt = fmt
+        self.precision = precision
         self.chunk_blocks = chunk_blocks
         if device_pack is None:
             device_pack = not os.environ.get("PACTPU_NO_DEVICE_PACK")
@@ -538,11 +566,20 @@ class Engine:
         # reservoir replay, for exact stats reconstruction
         # (pactpu.utils.metrics.collect_encode_stats)
         self.last_measure = None
+        # per-block extraBits granted by the last encode (any rate mode) —
+        # the trajectory observability tools/quality_report.py compares
+        # across rate modes
+        self.last_extras = None
 
     def consts(self) -> dict:
         """Device-resident constant tables (uploaded once per Engine)."""
+        if self.precision == "f64" and not jax.config.jax_enable_x64:
+            raise RuntimeError(
+                "precision='f64' requires jax x64 (enable with "
+                "jax.experimental.enable_x64() or JAX_ENABLE_X64=1)")
         if self._consts_dev is None:
-            self._consts_dev = jax.device_put(engine_consts_np(self.cfg))
+            self._consts_dev = jax.device_put(
+                engine_consts_np(self.cfg, self.precision))
         return self._consts_dev
 
     def _chunk(self, b: int) -> int:
@@ -571,31 +608,44 @@ class Engine:
                for i in range(0, b_pad, chunk)]
 
         consts = self.consts()
-        extras = np.zeros(b_pad, np.float32)
 
         # analysis (window+MDCT+psych model) runs ONCE per chunk; its
         # device-resident outputs feed both the reservoir measurement pass
         # and the final pass, so the reservoir mode pays only the cheap
         # alloc/quantize/Huffman tail twice
-        analyze = _chunk_analyze_fn(cfg)
-        finalize = _finalize_fn(cfg, pack_words=self.pack_words)
+        analyze = _chunk_analyze_fn(cfg, self.precision)
+        finalize = _finalize_fn(cfg, pack_words=self.pack_words,
+                                precision=self.precision)
         analyses = [analyze(d, consts) for d in dev]
 
+        zeros = jnp.zeros(chunk, jnp.float32)
+        extras_chunks = [zeros] * len(analyses)
         if self.rate_mode == "reservoir":
             # pass 1: measurement-only program (payload serialization DCE'd)
-            zeros = jnp.zeros(chunk, jnp.float32)
-            measure = _finalize_fn(cfg, measure_only=True)
+            measure = _finalize_fn(cfg, measure_only=True,
+                                   precision=self.precision)
             m_outs = [measure(a, zeros, consts) for a in analyses]
             savings = np.concatenate(
                 [np.asarray(o["savings"]) for o in m_outs])[:b]
             leftover = np.concatenate(
                 [np.asarray(o["leftover"]) for o in m_outs])[:b]
+            extras = np.zeros(b_pad, np.float32)
             extras[:b], _ = _reservoir_extras(
                 savings, leftover, cfg.reservoir_withdraw_divisor)
+            extras_chunks = [jnp.asarray(extras[i:i + chunk])
+                             for i in range(0, b_pad, chunk)]
             self.last_measure = (savings, leftover)
-        outs = [finalize(a, jnp.asarray(extras[i:i + chunk]), consts)
-                for a, i in zip(analyses, range(0, b_pad, chunk))]
-        return outs, b, analyses, extras, chunk
+        elif self.rate_mode == "exact":
+            # exact sequential trajectory: device cost tables + lax.scan,
+            # zero host round trips (pactpu.codec.exact)
+            from pactpu.codec import exact
+            extras_chunks, _ = exact.exact_extras_chunked(
+                analyses, consts, cfg, self.precision, chunk, b)
+        outs = [finalize(a, ex, consts)
+                for a, ex in zip(analyses, extras_chunks)]
+        self.last_extras = np.concatenate(
+            [np.asarray(e) for e in extras_chunks])[:b]
+        return outs, b, analyses, extras_chunks, chunk
 
     def _chunk_payload(self, out, analysis, extra_chunk: np.ndarray,
                        n_blocks: int) -> bytes:
@@ -614,7 +664,8 @@ class Engine:
                 # compiled specializations; download scales with the bucket)
                 wide_words = next((w for w in (192, 256, 384, PACK_WORDS_MAX)
                                    if w >= need), 0)
-                wide = _finalize_fn(self.cfg, pack_words=wide_words)
+                wide = _finalize_fn(self.cfg, pack_words=wide_words,
+                                    precision=self.precision)
                 out = wide(analysis, jnp.asarray(extra_chunk), self.consts())
         return self.pack_payload(out, n_blocks)
 
@@ -643,15 +694,14 @@ class Engine:
                 np.zeros((b, cfg.n_bands), np.int32), write_lrms=False)
             return header + payload
 
-        outs, b, analyses, extras, chunk = self._encode_chunks(pcm)
+        outs, b, analyses, extras_chunks, chunk = self._encode_chunks(pcm)
         parts = [header]
         done = 0
-        for j, (o, a) in enumerate(zip(outs, analyses)):
+        for o, a, ex in zip(outs, analyses, extras_chunks):
             nb = min(chunk, b - done)
             if nb <= 0:
                 break
-            parts.append(self._chunk_payload(
-                o, a, extras[j * chunk:(j + 1) * chunk], nb))
+            parts.append(self._chunk_payload(o, a, ex, nb))
             done += nb
         # observability: Huffman savings of the encoded stream (the
         # reference driver's bits-saved readout, pacfile.py:439)
@@ -759,13 +809,13 @@ class Engine:
             mant = d2(native.repack_codes(
                 parsed["mant"], parsed["ba"],
                 np.asarray(cfg.band_layout.n_lines, np.int32), n_words))
-            run = _chunk_decode_packed_fn(cfg, n_words)
+            run = _chunk_decode_packed_fn(cfg, n_words, self.precision)
         else:
             mant = d2(parsed["mant"]).astype(np.uint16)
-            run = _chunk_decode_fn(cfg)
+            run = _chunk_decode_fn(cfg, self.precision)
 
         pcm_chunks = []
-        carry = jnp.zeros((2, half), jnp.float32)
+        carry = jnp.zeros((2, half), _dtype(self.precision))
         for i in range(0, b_pad, chunk):
             pcm16, carry = run(
                 jnp.asarray(ba[i:i + chunk]), jnp.asarray(sf[i:i + chunk]),

@@ -136,34 +136,44 @@ class StreamingEncoder:
                    pcm_cat[:, i * half:(i + chunk + 1) * half]))
                for i in range(0, b_pad, chunk)]
 
-        analyze = _chunk_analyze_fn(cfg)
-        finalize = _finalize_fn(cfg, pack_words=eng.pack_words)
+        analyze = _chunk_analyze_fn(cfg, eng.precision)
+        finalize = _finalize_fn(cfg, pack_words=eng.pack_words,
+                                precision=eng.precision)
         consts = eng.consts()
-        extras = np.zeros(b_pad, np.float32)
         zeros = jnp.zeros(chunk, jnp.float32)
         analyses = [analyze(d, consts) for d in dev]
 
+        extras_chunks = [zeros] * len(analyses)
         if eng.rate_mode == "reservoir":
-            measure = _finalize_fn(cfg, measure_only=True)
+            measure = _finalize_fn(cfg, measure_only=True,
+                                   precision=eng.precision)
             m_outs = [measure(a, zeros, consts) for a in analyses]
             savings = np.concatenate(
                 [np.asarray(o["savings"]) for o in m_outs])[:b]
             leftover = np.concatenate(
                 [np.asarray(o["leftover"]) for o in m_outs])[:b]
+            extras = np.zeros(b_pad, np.float32)
             extras[:b], (self._deposit, self._extra) = _reservoir_extras(
                 savings, leftover, cfg.reservoir_withdraw_divisor,
                 self._deposit, self._extra)
-        outs = [finalize(a, jnp.asarray(extras[i:i + chunk]), consts)
-                for a, i in zip(analyses, range(0, b_pad, chunk))]
+            extras_chunks = [jnp.asarray(extras[i:i + chunk])
+                             for i in range(0, b_pad, chunk)]
+        elif eng.rate_mode == "exact":
+            from pactpu.codec import exact
+            carry = jnp.asarray([self._deposit, self._extra], jnp.int32)
+            extras_chunks, carry = exact.exact_extras_chunked(
+                analyses, consts, cfg, eng.precision, chunk, b, carry)
+            self._deposit, self._extra = (int(v) for v in np.asarray(carry))
+        outs = [finalize(a, ex, consts)
+                for a, ex in zip(analyses, extras_chunks)]
 
         parts = []
         done = 0
-        for j, (o, a) in enumerate(zip(outs, analyses)):
+        for o, a, ex in zip(outs, analyses, extras_chunks):
             nb = min(chunk, b - done)
             if nb <= 0:
                 break
-            parts.append(eng._chunk_payload(
-                o, a, extras[j * chunk:(j + 1) * chunk], nb))
+            parts.append(eng._chunk_payload(o, a, ex, nb))
             done += nb
         self._tail = blocks[-1]
         self._n_blocks += b
@@ -328,7 +338,7 @@ class StreamingDecoder:
                 a = np.pad(a, [(0, b_pad - b)] + [(0, 0)] * (a.ndim - 1))
             return a
 
-        run = _chunk_decode_fn(cfg)
+        run = _chunk_decode_fn(cfg, eng.precision)
         consts = eng.consts()
         ba = d2(parsed["ba"]).astype(np.int8)
         sf = d2(parsed["sf"]).astype(np.int8)

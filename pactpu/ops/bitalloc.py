@@ -49,20 +49,23 @@ def water_fill(total_bits: jax.Array, max_mant_bits: int,
     registers (pactpu.ops.pallas_ops.water_fill) — the XLA fori_loop
     formulation pays a kernel round trip per iteration.
     """
+    smr = jnp.asarray(smr)
+    if not jnp.issubdtype(smr.dtype, jnp.floating):
+        smr = smr.astype(jnp.float32)
     if use_pallas is None:
         from pactpu.ops import pallas_ops
         use_pallas = pallas_ops.enabled()
+    use_pallas = use_pallas and smr.dtype == jnp.float32  # kernel is f32
     if use_pallas:
         from pactpu.ops import pallas_ops
         return pallas_ops.water_fill(total_bits, max_mant_bits, n_lines,
                                      smr, lrms, ms_stop, lr_stop)
     r, n_bands = smr.shape
     n_lines = jnp.asarray(n_lines, jnp.int32)
-    smr = smr.astype(jnp.float32)
 
     def body(_, state):
         bits, total, valid = state
-        resid = smr - 6.0 * bits.astype(jnp.float32)
+        resid = smr - 6.0 * bits.astype(smr.dtype)
         # first-index argmax among valid bands (np.argmax tie-break)
         cand = jnp.argmax(jnp.where(valid, resid, _NEG), axis=1)
         row = jnp.arange(r)
@@ -70,7 +73,7 @@ def water_fill(total_bits: jax.Array, max_mant_bits: int,
 
         # global stop: max over ALL bands of SMR - (bits-1)*6 vs the
         # candidate band's threshold
-        global_resid = jnp.max(smr - (bits - 1).astype(jnp.float32) * 6.0,
+        global_resid = jnp.max(smr - (bits - 1).astype(smr.dtype) * 6.0,
                                axis=1)
         stop_thr = jnp.where(lrms[row, cand], ms_stop, lr_stop)
         kill_stop = global_resid < stop_thr

@@ -58,7 +58,7 @@ def _mld_np(f: np.ndarray) -> np.ndarray:
 
 
 @lru_cache(maxsize=8)
-def _consts(n: int, fs: int):
+def _consts(n: int, fs: int, dtype_name: str = "float32"):
     """Static per-line/per-bin tables for window size n (n//2 lines/bins).
 
     Everything here depends only on (n, fs): threshold-in-quiet intensity at
@@ -84,8 +84,9 @@ def _consts(n: int, fs: int):
                      np.where(dz < -0.5, 10.0 ** (2.7 * dz + 1.35), 0.0))
     # cached as numpy: a device array materialized during one jit trace must
     # not leak into another (same reason as pactpu.ops.mdct._mdct_basis)
-    f32 = lambda a: np.asarray(a, np.float32)  # noqa: E731
-    return (f32(quiet_i), f32(zvec), f32(bin_bark), f32(mld), f32(nonup))
+    cast = lambda a: np.asarray(a, np.dtype(dtype_name))  # noqa: E731
+    return (cast(quiet_i), cast(zvec), cast(bin_bark), cast(mld),
+            cast(nonup))
 
 
 def masker_levels(x: jax.Array, fs: int):
@@ -150,6 +151,7 @@ def masked_threshold(x: jax.Array, drop_db: jax.Array, fs: int,
     if use_pallas is None:
         from pactpu.ops import pallas_ops
         use_pallas = pallas_ops.enabled()
+    use_pallas = use_pallas and x.dtype == jnp.float32  # kernels are f32
     if use_pallas:
         # dense path: every bin is a masker slot gated by the peak mask —
         # no top_k compaction, no gathers.  The masker-level-independent
@@ -163,7 +165,7 @@ def masked_threshold(x: jax.Array, drop_db: jax.Array, fs: int,
         # passed-in consts may be traced device values
         cn = _consts(n, int(fs))
         znp, bnp = cn[1], cn[2]
-        log2_10_over_10 = jnp.float32(np.log2(10.0) / 10.0)
+        log2_10_over_10 = jnp.asarray(np.log2(10.0) / 10.0, x.dtype)
         iprime = jnp.where(
             peak, jnp.exp2(log2_10_over_10
                            * (mspl - drop_db[:, None] - 96.0)), 0.0)
@@ -180,7 +182,7 @@ def masked_threshold(x: jax.Array, drop_db: jax.Array, fs: int,
     lev_k = 0.367 * jnp.maximum(mspl_k - 40.0, 0.0)
     bark_k = bin_bark[safe]
 
-    log2_10_over_10 = jnp.float32(np.log2(10.0) / 10.0)
+    log2_10_over_10 = jnp.asarray(np.log2(10.0) / 10.0, x.dtype)
 
     def one_chunk(args):
         mspl_c, lev_c, bark_c, valid_c, drop_c = args
@@ -240,7 +242,7 @@ def calc_smrs(sine_windowed: jax.Array, scaled_lines: jax.Array,
     sine_windowed: f32[B, N]; scaled_lines: f32[B, N/2];
     overall_scale: i32[B].  Returns f32[B, n_bands].
     """
-    drop = jnp.full(sine_windowed.shape[0], 15.0, jnp.float32)
+    drop = jnp.full(sine_windowed.shape[0], 15.0, sine_windowed.dtype)
     thr = masked_threshold(sine_windowed, drop, fs, consts=consts)
     # the mono path divides out 2^scale *before* the SPL floor clamps
     # (reference psychoac.py:253-318), unlike the stereo path's
@@ -281,8 +283,8 @@ def stereo_smrs(sine_windowed: jax.Array, scaled_lines: jax.Array,
     stack = jnp.stack([sine_windowed[:, 0], sine_windowed[:, 1],
                        ms_m, ms_s, hann * ms_m, hann * ms_s], axis=1)
     drops = jnp.broadcast_to(
-        jnp.asarray([15.0, 15.0, 15.0, 15.0, 0.0, 0.0], jnp.float32),
-        (b, 6)).reshape(-1)
+        jnp.asarray([15.0, 15.0, 15.0, 15.0, 0.0, 0.0],
+                    sine_windowed.dtype), (b, 6)).reshape(-1)
     thr = masked_threshold(stack.reshape(b * 6, n), drops, fs, consts=consts)
     thr = thr.reshape(b, 6, half)
     bthr_l, bthr_r, bthr_m, bthr_s, bthr_m_mld, bthr_s_mld = (

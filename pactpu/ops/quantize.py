@@ -32,9 +32,9 @@ import jax
 import jax.numpy as jnp
 
 
-def _exp2i(e: jax.Array) -> jax.Array:
-    """2**e as float32 for an integer array e (exact: powers of two)."""
-    return jnp.exp2(e.astype(jnp.float32))
+def _exp2i(e: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """2**e as `dtype` for an integer array e (exact: powers of two)."""
+    return jnp.exp2(e.astype(dtype))
 
 
 def quantize_uniform(x: jax.Array, nbits) -> jax.Array:
@@ -46,7 +46,7 @@ def quantize_uniform(x: jax.Array, nbits) -> jax.Array:
     """
     nbits = jnp.asarray(nbits, jnp.int32)
     a = jnp.abs(x)
-    largest = _exp2i(nbits) - 1.0                      # 2^R - 1
+    largest = _exp2i(nbits, a.dtype) - 1.0             # 2^R - 1
     sign_mask = jnp.left_shift(jnp.int32(1), nbits - 1)
     code = jnp.floor((largest * a + 1.0) * 0.5).astype(jnp.int32)
     clip = sign_mask - 1                               # overload level
@@ -56,15 +56,16 @@ def quantize_uniform(x: jax.Array, nbits) -> jax.Array:
     return jnp.where(nbits <= 0, 0, code)
 
 
-def dequantize_uniform(code: jax.Array, nbits) -> jax.Array:
+def dequantize_uniform(code: jax.Array, nbits,
+                       dtype=jnp.float32) -> jax.Array:
     """Inverse of quantize_uniform: |x| = 2|code| / (2^R - 1)
     (reference codec/quantize.py:120-145)."""
     nbits = jnp.asarray(nbits, jnp.int32)
     code = code.astype(jnp.int32)
     sign_mask = jnp.left_shift(jnp.int32(1), nbits - 1)
-    largest = _exp2i(nbits) - 1.0
+    largest = _exp2i(nbits, dtype) - 1.0
     neg = (code & sign_mask) == sign_mask
-    mag = jnp.where(neg, code - sign_mask, code).astype(jnp.float32)
+    mag = jnp.where(neg, code - sign_mask, code).astype(dtype)
     val = 2.0 * mag / largest
     val = jnp.where(neg, -val, val)
     return jnp.where(nbits <= 0, 0.0, val)
@@ -153,8 +154,8 @@ def bfp_mantissa(x: jax.Array, scale: jax.Array, n_scale_bits: int,
     # = floor(a*2^(nmant+scale-1) + (1-a)*2^(scale-L-1)) — the main term stays
     # below 2^(nmant-1) under the BFP invariant (scale <= leading zeros), so
     # no large intermediate product loses mantissa bits.
-    mag = jnp.floor(a * _exp2i(nmant + scale - 1)
-                    + (1.0 - a) * _exp2i(scale - largest_scale - 1)
+    mag = jnp.floor(a * _exp2i(nmant + scale - 1, a.dtype)
+                    + (1.0 - a) * _exp2i(scale - largest_scale - 1, a.dtype)
                     ).astype(jnp.int32)
     # overload: Q clipped to 2^(R-1)-1 then shifted
     clip_mag = jnp.right_shift(
@@ -166,7 +167,7 @@ def bfp_mantissa(x: jax.Array, scale: jax.Array, n_scale_bits: int,
 
 
 def bfp_dequantize(scale: jax.Array, code: jax.Array, n_scale_bits: int,
-                   nmant) -> jax.Array:
+                   nmant, dtype=jnp.float32) -> jax.Array:
     """Inverse of bfp_mantissa with the reference's half-step reconstruction
     offset `1 << (L - scale - 1)` added when scale < L and magnitude > 0
     (reference codec/quantize.py:345-376)."""
@@ -180,21 +181,21 @@ def bfp_dequantize(scale: jax.Array, code: jax.Array, n_scale_bits: int,
     mag = jnp.where(neg, code - sign_mask, code)
     shift = largest_scale - scale
     half = jnp.where((scale < largest_scale) & (mag > 0),
-                     _exp2i(shift - 1), 0.0)
-    num = mag.astype(jnp.float32) * _exp2i(shift) + half
-    val = 2.0 * num / (_exp2i(r) - 1.0)
+                     _exp2i(shift - 1, dtype), 0.0)
+    num = mag.astype(dtype) * _exp2i(shift, dtype) + half
+    val = 2.0 * num / (_exp2i(r, dtype) - 1.0)
     val = jnp.where(neg, -val, val)
     return jnp.where(nmant <= 0, 0.0, val)
 
 
-def pcm16_to_float(codes: jax.Array) -> jax.Array:
+def pcm16_to_float(codes: jax.Array, dtype=jnp.float32) -> jax.Array:
     """int16 PCM -> signed fractions via the reference's sign-magnitude
     16-bit dequantizer (reference codec/pcmfile.py:89-98): value =
     sign * 2*(|code| mod 2^15) / (2^16 - 1); note -32768 maps to 0.0."""
     c = codes.astype(jnp.int32)
     mag = jnp.abs(c) & 0x7FFF
     neg = (c < 0) & (mag > 0)  # -32768 maps to +0.0, as in the reference
-    val = 2.0 * mag.astype(jnp.float32) / 65535.0
+    val = 2.0 * mag.astype(dtype) / 65535.0
     return jnp.where(neg, -val, val)
 
 

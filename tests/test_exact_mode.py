@@ -1,0 +1,102 @@
+"""Exact sequential-reservoir mode (Engine rate_mode="exact").
+
+The strongest engine-level validation in the suite: with precision="f64"
+the ENGINE (batched analysis + device cost tables + lax.scan trajectory,
+pactpu.codec.exact) must byte-reproduce the reference golden bitstream —
+not just the float64 oracle (tests/test_compat_golden.py), the TPU-shaped
+program itself.  Reference semantics: codec/Huffman.py:353-371 (reservoir),
+codec/codec.py:229,258-260 (withdraw + leftover chaining).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from pactpu.codec.engine import Engine
+from pactpu.codec.stream import StreamingEncoder
+from pactpu.codec.wav import read_wav
+from pactpu.compat import refcodec as rc
+from tests.conftest import REFERENCE, requires_reference
+
+
+@pytest.fixture(scope="module")
+def piano_pcm():
+    return read_wav(f"{REFERENCE}/inputs/piano_test2.wav").samples
+
+
+@requires_reference
+@pytest.mark.slow
+def test_exact_f64_engine_reproduces_golden_wak(piano_pcm):
+    with open(f"{REFERENCE}/coded/piano_test2.wak", "rb") as f:
+        gold = f.read()
+    with jax.enable_x64(True):
+        stream = Engine(rate_mode="exact", precision="f64").encode(piano_pcm)
+    assert stream == gold
+
+
+@requires_reference
+def test_exact_f64_matches_oracle_on_slice(piano_pcm):
+    """Byte equality with the oracle on a short slice (fast version of the
+    golden test; the oracle itself is golden-byte-verified)."""
+    pcm = piano_pcm[: 1024 * 40]
+    ref = rc.encode_file(pcm, 44100)
+    with jax.enable_x64(True):
+        stream = Engine(rate_mode="exact", precision="f64",
+                        chunk_blocks=16).encode(pcm)
+    assert stream == ref
+
+
+@requires_reference
+def test_exact_f32_chunk_invariance(piano_pcm):
+    """The scan's valid-gating makes the trajectory independent of the
+    device chunk size (padding blocks never touch the carry)."""
+    pcm = piano_pcm[: 1024 * 50]
+    s1 = Engine(rate_mode="exact", chunk_blocks=16).encode(pcm)
+    s2 = Engine(rate_mode="exact", chunk_blocks=64).encode(pcm)
+    assert s1 == s2
+
+
+@requires_reference
+def test_exact_f32_tracks_oracle_rate(piano_pcm):
+    """f32 analysis may flip individual quantization decisions, but the
+    exact trajectory keeps the stream within a sliver of the serial
+    reference encode's size, and it decodes at full quality."""
+    pcm = piano_pcm[: 1024 * 50]
+    ref = rc.encode_file(pcm, 44100)
+    eng = Engine(rate_mode="exact", chunk_blocks=64)
+    stream = eng.encode(pcm)
+    assert abs(len(stream) - len(ref)) <= 0.001 * len(ref) + 16
+    fs, out = Engine().decode(stream)
+    _, out_ref = rc.decode_file(ref)
+    n = min(len(out), len(out_ref))
+    err = out[:n].astype(np.float64) - out_ref[:n].astype(np.float64)
+    denom = max(float((out_ref[:n].astype(np.float64) ** 2).sum()), 1e-9)
+    snr = 10 * np.log10(denom / max(float((err ** 2).sum()), 1e-9))
+    assert snr > 40.0  # decodes to (near-)identical audio
+
+
+@requires_reference
+def test_streaming_exact_split_invariance(piano_pcm):
+    """StreamingEncoder carries the exact-scan (deposit, extraBits) across
+    pushes: split output == batch output."""
+    pcm = piano_pcm[: 1024 * 30 + 400]
+    batch = Engine(rate_mode="exact", chunk_blocks=16).encode(pcm)
+    enc = StreamingEncoder(rate_mode="exact", chunk_blocks=16)
+    parts = [enc.header(pcm.shape[0])]
+    splits = [0, 5000, 17000, pcm.shape[0]]
+    for a, b in zip(splits[:-1], splits[1:]):
+        parts.append(enc.push(pcm[a:b]))
+    parts.append(enc.flush())
+    assert b"".join(parts) == batch
+
+
+def test_exact_rejects_pac_format():
+    with pytest.raises(ValueError):
+        Engine(rate_mode="exact", fmt="pac")
+
+
+def test_f64_requires_x64():
+    eng = Engine(rate_mode="exact", precision="f64")
+    if not jax.config.jax_enable_x64:
+        with pytest.raises(RuntimeError):
+            eng.consts()
