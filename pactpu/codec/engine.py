@@ -160,7 +160,8 @@ def analyze_body(cfg: CodecConfig, precision: str = "f32"):
 
         lrms = psycho.lrms_decision(frames, layout, cfg.ms_decision_factor)
         smr, mixed = psycho.stereo_smrs(sw, scaled, overall, lrms, fs,
-                                        layout, consts=consts["psy"])
+                                        layout, consts=consts["psy"],
+                                        peak_mode=cfg.peak_mode)
         return dict(mixed=mixed, smr=smr, lrms=lrms, overall=overall)
 
     return run
@@ -366,7 +367,7 @@ def encode_body_baseline(cfg: CodecConfig):
         smr = psycho.calc_smrs(
             sw.reshape(b * 2, n), scaled.reshape(b * 2, half),
             overall.reshape(-1), fs, layout,
-            consts=consts["psy"]).reshape(b, 2, -1)
+            consts=consts["psy"], peak_mode=cfg.peak_mode).reshape(b, 2, -1)
 
         lrms = jnp.zeros((b * 2, layout.n_bands), bool)
         bits, _ = ba_ops.water_fill(

@@ -120,9 +120,88 @@ def masker_levels(x: jax.Array, fs: int):
     return mspl, peak
 
 
+def _bark_jnp(f: jax.Array) -> jax.Array:
+    khz = f / 1000.0
+    return 13.0 * jnp.arctan(0.76 * khz) + 3.5 * jnp.arctan((khz / 7.5) ** 2)
+
+
+def aidan_peaks(x: jax.Array, fs: int, mode: str = "weighted"):
+    """Aidan's alternative peak pickers as fixed-shape masker slots
+    (reference baselines/aidan/psychoac.py:105-189 FindPeaksPara/FindPeaks,
+    spectrum + keep-set semantics from getMaskedThreshold :236-262).
+
+    x: f32[B, N] time blocks (one Hann window is applied here, as in
+    aidan's getMaskedThreshold).  The dB spectrum is the FULL N-point FFT
+    normalized by the Hann window power, SPL(4|X|^2 / (N^2 mean(hann^2)));
+    peaks are strict interior local maxima of the (floored) dB values, and
+    only the FIRST HALF of the peak list survives — the reference's
+    `allPeaks[0:len(allPeaks)/2]` Py2-floor quirk standing in for
+    positive-frequency selection (the mirror-image peaks land in the second
+    half).  An empty peak list yields the reference's single dummy masker
+    at f=0, SPL=0.
+
+    mode="para":     parabolic interpolation on dB values — the *fixed*
+                     `1/2.` variant (baselines/aidan/psychoac.py:139-142):
+                     p = (a-c) / (2(a-2b+c)), height = b - (a-c)p/4.
+    mode="weighted": intensity-weighted bin centroid, height =
+                     SPL(Ia+Ib+Ic) (baselines/aidan/psychoac.py:176-181).
+
+    Returns (height f32[B, N], bark f32[B, N], keep bool[B, N]) — masker
+    SPL, bark of the interpolated masker frequency, and the slot mask —
+    ready for `masked_threshold(..., maskers=...)`.
+    """
+    n = x.shape[-1]
+    hann_np = np.asarray(hann_window(n), np.float64)
+    w2hann = float(np.mean(hann_np * hann_np))
+    hann = jnp.asarray(hann_np, x.dtype)
+    spec = jnp.fft.fft(x * hann)
+    p2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    xspl = spl((4.0 / (float(n) ** 2 * w2hann)) * p2)    # dB, floored
+
+    pad = jnp.zeros(xspl.shape[:-1] + (1,), bool)
+    mask = jnp.concatenate(
+        [pad, (xspl[..., 1:-1] > xspl[..., :-2])
+         & (xspl[..., 1:-1] > xspl[..., 2:]), pad], axis=-1)
+    cnt = jnp.cumsum(mask.astype(jnp.int32), axis=-1)
+    total = cnt[..., -1:]
+    keep = mask & (cnt <= total // 2)                    # first-half quirk
+
+    idx = jnp.arange(n, dtype=x.dtype)
+    a = jnp.roll(xspl, 1, axis=-1)
+    b = xspl
+    c = jnp.roll(xspl, -1, axis=-1)
+    if mode == "para":
+        denom = a - 2.0 * b + c                          # < 0 at a strict max
+        p = 0.5 * (a - c) / jnp.where(denom != 0.0, denom, 1.0)
+        loc = idx[None] + p
+        height = b - 0.25 * (a - c) * p
+    elif mode == "weighted":
+        ia = jnp.exp2(jnp.asarray(np.log2(10.0) / 10.0, x.dtype) * (a - 96.0))
+        ib = jnp.exp2(jnp.asarray(np.log2(10.0) / 10.0, x.dtype) * (b - 96.0))
+        ic = jnp.exp2(jnp.asarray(np.log2(10.0) / 10.0, x.dtype) * (c - 96.0))
+        loc = (ia * (idx[None] - 1.0) + ib * idx[None]
+               + ic * (idx[None] + 1.0)) / (ia + ib + ic)
+        height = spl(ia + ib + ic)
+    else:
+        raise ValueError(f"unknown aidan peak mode {mode!r}")
+
+    # empty-list dummy masker: f=0, SPL=0 in slot 0
+    empty = total == 0
+    slot0 = jnp.arange(n) == 0
+    keep = keep | (empty & slot0[None])
+    # zero non-kept slots: their a/b/c come from wrapped neighbors and can
+    # produce huge interpolated values that overflow the (masked-out)
+    # spreading exponential into inf, and inf * 0 = NaN
+    height = jnp.where(keep & ~(empty & slot0[None]), height, 0.0)
+    loc = jnp.where(keep & ~(empty & slot0[None]), loc, 0.0)
+    bark = _bark_jnp(loc * (float(fs) / float(n)))
+    return height, bark, keep
+
+
 def masked_threshold(x: jax.Array, drop_db: jax.Array, fs: int,
                      chunk: int = 16, consts=None,
-                     use_pallas=None) -> jax.Array:
+                     use_pallas=None, maskers=None,
+                     up_coef: float = 0.367) -> jax.Array:
     """Masked thresholds (SPL dB at the MDCT line frequencies) for a batch.
 
     x: f32[B, N] windowed time blocks; drop_db: f32[B] per-row tonal-masker
@@ -141,17 +220,32 @@ def masked_threshold(x: jax.Array, drop_db: jax.Array, fs: int,
     """
     n = x.shape[-1]
     half = n // 2
-    k = half // 2
     c = consts if consts is not None else _consts(n, int(fs))
     quiet_i, zvec, bin_bark, nonup = c[0], c[1], c[2], c[4]
     zvec = jnp.asarray(zvec)
     bin_bark = jnp.asarray(bin_bark)
-    mspl, peak = masker_levels(x, fs)
+    if maskers is not None:
+        # caller-supplied masker slots (e.g. aidan_peaks): SPL + bark are
+        # data-dependent, so only the compact gather path applies
+        mspl, peak, bark_arr = maskers
+        m = mspl.shape[-1]
+        # strict local maxima are non-adjacent (<= (m-1)/2 of the interior)
+        # and the first-half quirk halves that again; +1 covers the dummy
+        k = m // 4 + 1
+        use_pallas = False
+    else:
+        mspl, peak = masker_levels(x, fs)
+        bark_arr = None
+        m = half
+        k = half // 2
 
     if use_pallas is None:
         from pactpu.ops import pallas_ops
         use_pallas = pallas_ops.enabled()
-    use_pallas = use_pallas and x.dtype == jnp.float32  # kernels are f32
+    # the dense kernel bakes the master model's geometry: static bin barks
+    # and the 0.367 upslope coefficient
+    use_pallas = (use_pallas and x.dtype == jnp.float32
+                  and up_coef == 0.367)
     if use_pallas:
         # dense path: every bin is a masker slot gated by the peak mask —
         # no top_k compaction, no gathers.  The masker-level-independent
@@ -174,13 +268,14 @@ def masked_threshold(x: jax.Array, drop_db: jax.Array, fs: int,
         return spl(jnp.asarray(quiet_i)[None] + total)
 
     # compact peaks into K slots (indices of peak bins; empty slots -> -1)
-    key = jnp.where(peak, jnp.arange(half, dtype=jnp.int32), -1)
+    key = jnp.where(peak, jnp.arange(m, dtype=jnp.int32), -1)
     idx, _ = jax.lax.top_k(key, k)                 # actually values == idx
     valid = idx >= 0
     safe = jnp.maximum(idx, 0)
     mspl_k = jnp.take_along_axis(mspl, safe, axis=-1)
-    lev_k = 0.367 * jnp.maximum(mspl_k - 40.0, 0.0)
-    bark_k = bin_bark[safe]
+    lev_k = up_coef * jnp.maximum(mspl_k - 40.0, 0.0)
+    bark_k = (bin_bark[safe] if bark_arr is None
+              else jnp.take_along_axis(bark_arr, safe, axis=-1))
 
     log2_10_over_10 = jnp.asarray(np.log2(10.0) / 10.0, x.dtype)
 
@@ -234,16 +329,29 @@ def mdct_spl(scaled_lines: jax.Array, overall_scale: jax.Array) -> jax.Array:
             - 6.02 * overall_scale[..., None].astype(scaled_lines.dtype))
 
 
+def _threshold_for_mode(x, drop, fs, consts, peak_mode):
+    """Masked threshold dispatch over the flag-gated peak-picker modes:
+    "ref" = the master model's findpeaks semantics (Q3/Q4 bin-center
+    maskers, 6-bin window SPL, 0.367 upslope); "para"/"weighted" = aidan's
+    pickers (baselines/aidan/psychoac.py:105-189) with aidan's 0.37
+    upslope coefficient (ibid. :97)."""
+    if peak_mode == "ref":
+        return masked_threshold(x, drop, fs, consts=consts)
+    return masked_threshold(x, drop, fs, consts=consts,
+                            maskers=aidan_peaks(x, fs, peak_mode),
+                            up_coef=0.37)
+
+
 def calc_smrs(sine_windowed: jax.Array, scaled_lines: jax.Array,
               overall_scale: jax.Array, fs: int, layout,
-              consts=None) -> jax.Array:
+              consts=None, peak_mode: str = "ref") -> jax.Array:
     """Mono per-band max SMR (reference CalcSMRs, psychoac.py:253-318).
 
     sine_windowed: f32[B, N]; scaled_lines: f32[B, N/2];
     overall_scale: i32[B].  Returns f32[B, n_bands].
     """
     drop = jnp.full(sine_windowed.shape[0], 15.0, sine_windowed.dtype)
-    thr = masked_threshold(sine_windowed, drop, fs, consts=consts)
+    thr = _threshold_for_mode(sine_windowed, drop, fs, consts, peak_mode)
     # the mono path divides out 2^scale *before* the SPL floor clamps
     # (reference psychoac.py:253-318), unlike the stereo path's
     # clamp-then-subtract `SPL(4X^2) - 6.02*scale`
@@ -255,7 +363,7 @@ def calc_smrs(sine_windowed: jax.Array, scaled_lines: jax.Array,
 
 def stereo_smrs(sine_windowed: jax.Array, scaled_lines: jax.Array,
                 overall_scale: jax.Array, lrms: jax.Array, fs: int, layout,
-                consts=None):
+                consts=None, peak_mode: str = "ref"):
     """Stereo SMRs + channel-mixed MDCT lines for a batch of blocks
     (reference getStereoMaskThreshold, codec/psychoac.py:506-682).
 
@@ -285,7 +393,8 @@ def stereo_smrs(sine_windowed: jax.Array, scaled_lines: jax.Array,
     drops = jnp.broadcast_to(
         jnp.asarray([15.0, 15.0, 15.0, 15.0, 0.0, 0.0],
                     sine_windowed.dtype), (b, 6)).reshape(-1)
-    thr = masked_threshold(stack.reshape(b * 6, n), drops, fs, consts=consts)
+    thr = _threshold_for_mode(stack.reshape(b * 6, n), drops, fs, consts,
+                              peak_mode)
     thr = thr.reshape(b, 6, half)
     bthr_l, bthr_r, bthr_m, bthr_s, bthr_m_mld, bthr_s_mld = (
         thr[:, i] for i in range(6))

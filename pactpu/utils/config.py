@@ -104,6 +104,12 @@ class CodecConfig:
     # Per-band L/R-vs-M/S decision factor (reference codec/codec.py:102).
     ms_decision_factor: float = 0.8
 
+    # Peak-picker mode for the psychoacoustic model: "ref" = the master
+    # model's findpeaks (reference codec/psychoac.py:158-191, Q3/Q4 quirks),
+    # "para"/"weighted" = aidan's alternative pickers
+    # (reference baselines/aidan/psychoac.py:105-189).
+    peak_mode: str = "ref"
+
     # Bit-reservoir trickle: fraction of the deposit withdrawn per block in
     # compat mode (reference codec/Huffman.py:363-371 withdraws 1/100).
     # The rate-control *policy* (cbr / reservoir / exact) is the Engine's

@@ -1,0 +1,219 @@
+"""Reference baseline variants: kai's closed-form allocator and aidan's
+peak-pickers, each against a direct numpy restatement of the reference
+semantics (reference baselines/kai/bitalloc.py:84-134,
+baselines/aidan/psychoac.py:105-189).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from pactpu.ops import bitalloc as ba_ops
+from pactpu.ops import psycho
+from pactpu.utils.config import CodecConfig
+
+CFG = CodecConfig()
+LAYOUT = CFG.band_layout
+N = 2 * CFG.n_mdct_lines
+
+
+# -- kai's closed-form allocator ---------------------------------------------
+
+
+def kai_bit_alloc(bit_budget, max_mant_bits, n_lines, smr):
+    """Py3 restatement of kai's BitAlloc (baselines/kai/bitalloc.py:84-134):
+    closed-form R(i) = P/sum(nLines) + (SMR - avgSMR)/6 with [2, max] gating,
+    then an overshoot take-back loop from the min adjusted SMR."""
+    n_lines = np.asarray(n_lines, np.int64)
+    smr = np.asarray(smr, np.float64)
+    n_bands = len(n_lines)
+    total_lines = np.sum(n_lines)
+    avg = np.sum(n_lines * smr) / total_lines
+    bits = np.zeros(n_bands, np.int64)
+    for i in range(n_bands):
+        r = float(bit_budget) / total_lines + (smr[i] - avg) / 6.0
+        if r < 2:
+            r = 0
+        if r > max_mant_bits:
+            r = max_mant_bits
+        bits[i] = int(r)
+    total = np.sum(bits * n_lines)
+    mysmr = smr.copy()
+    sentinel = 1e9
+    while not np.all(mysmr == sentinel):
+        i = int(np.argmin(mysmr))
+        if total >= bit_budget:
+            mysmr[i] += 6.0
+            if bits[i] != 0:
+                bits[i] -= 1
+                if bits[i] == 1:
+                    bits[i] = 0
+            total = np.sum(bits * n_lines)
+            if bits[i] == 0:
+                mysmr[i] = sentinel
+        else:
+            mysmr[i] = sentinel
+    return bits
+
+
+def _grid_smr(rng, rows):
+    """SMRs on a 1/8-dB dyadic grid: exactly representable in f32, and +6.0
+    adjustments stay on the grid, so device-f32 vs restatement-f64 argmin
+    decisions are identical by construction."""
+    return (rng.integers(-320, 480, (rows, LAYOUT.n_bands)) / 8.0
+            ).astype(np.float32)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_closed_form_matches_kai_restatement(seed):
+    rng = np.random.default_rng(seed)
+    rows = 48
+    smr = _grid_smr(rng, rows)
+    budget = rng.integers(0, 4000, rows).astype(np.int32)
+    budget[0] = 0
+    budget[1] = 16 * CFG.n_mdct_lines + 7       # everything cappable
+    max_mant = 16
+
+    bits_dev = np.asarray(ba_ops.alloc_closed_form(
+        jnp.asarray(budget), max_mant,
+        jnp.asarray(LAYOUT.n_lines_array), jnp.asarray(smr)))
+
+    # mask out rows whose closed-form R sits within 1e-3 of a floor/gate
+    # boundary, where the f32 device math may legitimately round the other
+    # way (kai's own comment: "will not bother to worry about slight
+    # variations ... due to rounding")
+    _, r_dev = ba_ops.closed_form_init(
+        jnp.asarray(budget), max_mant,
+        jnp.asarray(LAYOUT.n_lines_array), jnp.asarray(smr))
+    r_dev = np.asarray(r_dev)
+    # only R >= ~2 faces a floor/gate boundary (below the gate it is 0)
+    near = (np.abs(r_dev - np.round(r_dev)) < 1e-3) & (r_dev > 2.0 - 1e-3)
+    comparable = ~near.any(axis=1)
+    assert comparable.sum() >= rows - 4          # boundaries must be rare
+
+    for row in range(rows):
+        if not comparable[row]:
+            continue
+        bits_ref = kai_bit_alloc(int(budget[row]), max_mant,
+                                 LAYOUT.n_lines_array, smr[row])
+        np.testing.assert_array_equal(bits_dev[row], bits_ref,
+                                      err_msg=f"row {row}")
+
+
+def test_closed_form_respects_budget_after_takeback():
+    rng = np.random.default_rng(9)
+    smr = _grid_smr(rng, 32)
+    budget = rng.integers(100, 3000, 32).astype(np.int32)
+    bits = np.asarray(ba_ops.alloc_closed_form(
+        jnp.asarray(budget), 16,
+        jnp.asarray(LAYOUT.n_lines_array), jnp.asarray(smr)))
+    spent = (bits * LAYOUT.n_lines_array[None]).sum(axis=1)
+    # the take-back loop runs while spent >= budget, so it terminates with
+    # spent < budget (or everything zeroed)
+    assert ((spent < budget) | (bits == 0).all(axis=1)).all()
+    assert (bits != 1).all()                     # 1-bit zeroing
+    assert (bits <= 16).all() and (bits >= 0).all()
+
+
+# -- aidan's peak pickers ----------------------------------------------------
+
+
+def _aidan_restatement(x, fs, mode):
+    """Py3 restatement of FindPeaksPara / FindPeaks semantics
+    (baselines/aidan/psychoac.py:105-189) on the full-N Hann dB spectrum of
+    getMaskedThreshold (ibid. :236-262), incl. the first-half-of-list quirk
+    and the empty-list dummy masker."""
+    n = len(x)
+    hann = 0.5 * (1.0 - np.cos(2.0 * np.pi * (np.arange(n) + 0.5) / n))
+    w2hann = np.mean(hann * hann)
+    spec = np.fft.fft(x * hann)
+    inten = np.maximum(4.0 * np.abs(spec) ** 2 / (n * n * w2hann),
+                       10.0 ** ((-30.0 - 96.0) / 10.0))
+    xspl = np.maximum(96.0 + 10.0 * np.log10(inten), -30.0)
+
+    idxs = [i for i in range(1, n - 1)
+            if xspl[i - 1] < xspl[i] and xspl[i] > xspl[i + 1]]
+    if not idxs:
+        return np.array([0.0]), np.array([0.0])     # (freqs, heights) dummy
+    keep = idxs[:len(idxs) // 2]
+    freqs, heights = [], []
+    for i in keep:
+        a, b, c = xspl[i - 1], xspl[i], xspl[i + 1]
+        if mode == "para":
+            p = 0.5 * (a - c) / (a - 2.0 * b + c)
+            loc = i + p
+            h = b - 0.25 * (a - c) * p
+        else:
+            ia, ib, ic = (10.0 ** ((v - 96.0) / 10.0) for v in (a, b, c))
+            loc = (ia * (i - 1) + ib * i + ic * (i + 1)) / (ia + ib + ic)
+            s = ia + ib + ic
+            h = max(96.0 + 10.0 * np.log10(
+                max(s, 10.0 ** ((-30.0 - 96.0) / 10.0))), -30.0)
+        freqs.append(fs * loc / n)
+        heights.append(h)
+    return np.array(freqs), np.array(heights)
+
+
+def _bark(f):
+    khz = np.asarray(f, np.float64) / 1000.0
+    return 13.0 * np.arctan(0.76 * khz) + 3.5 * np.arctan((khz / 7.5) ** 2)
+
+
+@pytest.fixture(scope="module")
+def blocks():
+    rng = np.random.default_rng(4)
+    t = np.arange(N) / CFG.sample_rate
+    tones = sum(a * np.sin(2 * np.pi * f * t) for a, f in
+                [(0.6, 420.0), (0.11, 530.0), (0.10, 640.0),
+                 (0.08, 840.0), (0.05, 4200.0), (0.03, 8400.0)])
+    noisy = 0.2 * np.sin(2 * np.pi * 1000.0 * t) \
+        + 0.01 * rng.standard_normal(N)
+    silent = np.zeros(N)
+    tiny = 1e-7 * rng.standard_normal(N)
+    return np.stack([tones, noisy, silent, tiny])
+
+
+@pytest.mark.parametrize("mode", ["para", "weighted"])
+def test_aidan_peaks_match_restatement(blocks, mode):
+    h_dev, z_dev, keep_dev = psycho.aidan_peaks(
+        jnp.asarray(blocks, jnp.float32), CFG.sample_rate, mode)
+    h_dev, z_dev, keep_dev = map(np.asarray, (h_dev, z_dev, keep_dev))
+    for i in range(blocks.shape[0]):
+        freqs_ref, heights_ref = _aidan_restatement(
+            blocks[i], CFG.sample_rate, mode)
+        kept = np.where(keep_dev[i])[0]
+        assert len(kept) == len(freqs_ref), f"block {i}"
+        # device slots are bin-ordered; restatement keeps list order, which
+        # is also bin-ascending
+        np.testing.assert_allclose(z_dev[i][kept], _bark(freqs_ref),
+                                   atol=1e-3, err_msg=f"block {i}")
+        np.testing.assert_allclose(h_dev[i][kept], heights_ref,
+                                   atol=5e-3, err_msg=f"block {i}")
+
+
+@pytest.mark.parametrize("mode", ["para", "weighted"])
+def test_aidan_threshold_mode_runs_and_differs(blocks, mode):
+    x = jnp.asarray(blocks, jnp.float32)
+    drop = jnp.full(x.shape[0], 15.0, jnp.float32)
+    thr_ref_mode = np.asarray(psycho.masked_threshold(
+        x, drop, CFG.sample_rate))
+    thr_aidan = np.asarray(psycho.masked_threshold(
+        x, drop, CFG.sample_rate,
+        maskers=psycho.aidan_peaks(x, CFG.sample_rate, mode), up_coef=0.37))
+    assert np.isfinite(thr_aidan).all()
+    # quiet threshold floors both models identically on silence
+    np.testing.assert_allclose(thr_aidan[2], thr_ref_mode[2], atol=1e-2)
+    # but the pickers genuinely change the threshold on tonal content
+    assert np.abs(thr_aidan[0] - thr_ref_mode[0]).max() > 0.5
+
+
+@pytest.mark.parametrize("mode", ["ref", "weighted"])
+def test_calc_smrs_peak_mode_plumbs(blocks, mode):
+    sw = jnp.asarray(blocks, jnp.float32)
+    from pactpu.ops.mdct import mdct
+    lines = mdct(sw)
+    overall = jnp.zeros(sw.shape[0], jnp.int32)
+    smr = np.asarray(psycho.calc_smrs(sw, lines, overall, CFG.sample_rate,
+                                      LAYOUT, peak_mode=mode))
+    assert smr.shape == (blocks.shape[0], LAYOUT.n_bands)
+    assert np.isfinite(smr).all()
