@@ -125,7 +125,8 @@ int wak_init_tables(const uint8_t* lengths, const uint32_t* codes,
 // into `out`.  Per channel-block inputs are rows of the given arrays:
 //   overall[i], table_id[i], ba[i][n_bands], sf[i][n_bands],
 //   sign/code/len[i][total_lines] (line-indexed; untransmitted lines are
-//   skipped via ba), lrms[i/2 ? same block row : ...] given per block.
+//   skipped via ba), lrms[i / n_channels] given per block (all channels of
+//   a block share one LRMS row).
 // Format selection: n_table_id_bits == 0 selects the baseline .pac layout
 // (reference codec/solution/pacfile_.py:290-305): no table id, no separate
 // sign bits, each line written as its raw `len` (= bitAlloc)-bit
@@ -133,7 +134,7 @@ int wak_init_tables(const uint8_t* lengths, const uint32_t* codes,
 // Returns total bytes written, or -1 on overflow of out_cap.
 int64_t wak_pack_file(int n_cblocks, int n_bands, const int32_t* n_lines,
                       int total_lines, int n_scale_bits, int n_mant_size_bits,
-                      int n_table_id_bits, int write_lrms,
+                      int n_table_id_bits, int write_lrms, int n_channels,
                       const int32_t* overall,
                       const int32_t* table_id, const int32_t* ba,
                       const int32_t* sf, const int32_t* sign,
@@ -147,7 +148,7 @@ int64_t wak_pack_file(int n_cblocks, int n_bands, const int32_t* n_lines,
     const int32_t* sg_r = sign + static_cast<int64_t>(i) * total_lines;
     const int32_t* cd_r = code + static_cast<int64_t>(i) * total_lines;
     const int32_t* ln_r = len + static_cast<int64_t>(i) * total_lines;
-    const int32_t* lr_r = lrms + static_cast<int64_t>(i / 2) * n_bands;
+    const int32_t* lr_r = lrms + static_cast<int64_t>(i / n_channels) * n_bands;
 
     // count payload bits
     int64_t bits = n_scale_bits + n_table_id_bits +
@@ -293,7 +294,8 @@ int64_t wak_count_blocks(const uint8_t* data, int64_t size) {
 int64_t wak_unpack_file(const uint8_t* data, int64_t size, int n_cblocks,
                         int n_bands, const int32_t* n_lines, int total_lines,
                         int n_scale_bits, int n_mant_size_bits,
-                        int n_table_id_bits, int read_lrms, int32_t* overall,
+                        int n_table_id_bits, int read_lrms, int n_channels,
+                        int32_t* overall,
                         int32_t* table_id, int32_t* ba, int32_t* sf,
                         int32_t* mant, int32_t* lrms) {
   const bool huff = n_table_id_bits > 0;
@@ -310,7 +312,7 @@ int64_t wak_unpack_file(const uint8_t* data, int64_t size, int n_cblocks,
     int32_t* ba_r = ba + static_cast<int64_t>(i) * n_bands;
     int32_t* sf_r = sf + static_cast<int64_t>(i) * n_bands;
     int32_t* mant_r = mant + static_cast<int64_t>(i) * total_lines;
-    int32_t* lr_r = lrms + static_cast<int64_t>(i / 2) * n_bands;
+    int32_t* lr_r = lrms + static_cast<int64_t>(i / n_channels) * n_bands;
     std::memset(mant_r, 0, sizeof(int32_t) * total_lines);
 
     overall[i] = static_cast<int32_t>(r.read(n_scale_bits));

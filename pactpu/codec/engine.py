@@ -158,6 +158,15 @@ def analyze_body(cfg: CodecConfig, precision: str = "f32"):
             jnp.max(jnp.abs(lines), axis=-1), cfg.n_scale_bits, 5)
         scaled = lines * jnp.exp2(overall[..., None].astype(lines.dtype))
 
+        if cfg.n_channels == 1:
+            # mono extension: no LRMS/stereo model, the mono psych chain of
+            # reference EncodeSingleChannel (codec/codec.py:131-210)
+            lrms = jnp.zeros((frames.shape[0], layout.n_bands), bool)
+            smr = psycho.calc_smrs(
+                sw[:, 0], scaled[:, 0], overall[:, 0], fs, layout,
+                consts=consts["psy"], peak_mode=cfg.peak_mode)[:, None]
+            return dict(mixed=scaled, smr=smr, lrms=lrms, overall=overall)
+
         lrms = psycho.lrms_decision(frames, layout, cfg.ms_decision_factor)
         smr, mixed = psycho.stereo_smrs(sw, scaled, overall, lrms, fs,
                                         layout, consts=consts["psy"],
@@ -187,6 +196,8 @@ def finalize_body(cfg: CodecConfig, two_channel_chain: bool = True,
     budget = float(cfg.bit_budget())
     dt = _dtype(precision)
 
+    c = cfg.n_channels
+
     def run(analysis: dict, extra0: jax.Array, consts: dict):
         mixed = analysis["mixed"]
         smr = analysis["smr"]
@@ -194,18 +205,20 @@ def finalize_body(cfg: CodecConfig, two_channel_chain: bool = True,
         overall = analysis["overall"].astype(jnp.int32)
         b = mixed.shape[0]
 
-        total0 = (jnp.asarray(budget, dt) + extra0.astype(dt)
-                  ).astype(jnp.int32)
-        bits0, left0 = ba_ops.water_fill(
-            total0, max_mant, n_lines, smr[:, 0], lrms,
-            cfg.ms_stop_threshold_db, cfg.lr_stop_threshold_db)
-        extra1 = left0.astype(dt) if two_channel_chain else (
-            extra0.astype(dt))
-        total1 = (jnp.asarray(budget, dt) + extra1).astype(jnp.int32)
-        bits1, left1 = ba_ops.water_fill(
-            total1, max_mant, n_lines, smr[:, 1], lrms,
-            cfg.ms_stop_threshold_db, cfg.lr_stop_threshold_db)
-        bits = jnp.stack([bits0, bits1], axis=1)          # [B, 2, bands]
+        # channel chain: each channel's allocation leftover funds the next
+        # channel of the same block (reference codec/codec.py:258-260);
+        # the last channel's leftover flows back to the reservoir
+        extra = extra0.astype(dt)
+        bits_ch, left = [], None
+        for ch in range(c):
+            total = (jnp.asarray(budget, dt) + extra).astype(jnp.int32)
+            bits_c, left = ba_ops.water_fill(
+                total, max_mant, n_lines, smr[:, ch], lrms,
+                cfg.ms_stop_threshold_db, cfg.lr_stop_threshold_db)
+            bits_ch.append(bits_c)
+            if two_channel_chain:
+                extra = left.astype(dt)
+        bits = jnp.stack(bits_ch, axis=1)                 # [B, C, bands]
 
         peak = psycho.band_max(jnp.abs(mixed), layout, fill=0.0)
         sf = q_ops.scale_factor(peak, cfg.n_scale_bits, bits)
@@ -216,39 +229,39 @@ def finalize_body(cfg: CodecConfig, two_channel_chain: bool = True,
         transmit = nm_l > 0
 
         tid, codes, lens, huff_bits = huff_ops.encode_select(
-            unsigned.reshape(b * 2, half), nm_l.reshape(b * 2, half),
-            transmit.reshape(b * 2, half), tables=consts["tabs"])
+            unsigned.reshape(b * c, half), nm_l.reshape(b * c, half),
+            transmit.reshape(b * c, half), tables=consts["tabs"])
 
         raw_bits = jnp.sum(bits * n_lines[None, None, :], axis=-1)
         n_signs = jnp.sum(transmit, axis=-1)
-        used = (huff_bits.reshape(b, 2) + n_signs + cfg.n_table_id_bits)
+        used = (huff_bits.reshape(b, c) + n_signs + cfg.n_table_id_bits)
         savings = raw_bits - used
 
         if measure_only:
             return dict(savings=savings.astype(jnp.int32),
-                        leftover=left1.astype(jnp.int32))
+                        leftover=left.astype(jnp.int32))
 
         out = dict(
             overall=overall.astype(jnp.int8), lrms=lrms,
             bits=bits.astype(jnp.int8), sf=sf.astype(jnp.int8),
-            tid=tid.reshape(b, 2).astype(jnp.int8),
+            tid=tid.reshape(b, c).astype(jnp.int8),
             savings=savings.astype(jnp.int32),
-            leftover=left1.astype(jnp.int32))
+            leftover=left.astype(jnp.int32))
         if pack_words:
             words, nbits = pack_ops.pack_payload_bits(
-                overall.reshape(b * 2), tid, bits.reshape(b * 2, -1),
-                sf.reshape(b * 2, -1),
-                jnp.where(transmit, sign, 0).reshape(b * 2, half),
-                codes.reshape(b * 2, half), lens.reshape(b * 2, half),
-                jnp.repeat(lrms.astype(jnp.int32), 2, axis=0),
+                overall.reshape(b * c), tid, bits.reshape(b * c, -1),
+                sf.reshape(b * c, -1),
+                jnp.where(transmit, sign, 0).reshape(b * c, half),
+                codes.reshape(b * c, half), lens.reshape(b * c, half),
+                jnp.repeat(lrms.astype(jnp.int32), c, axis=0),
                 layout.n_lines, cfg.n_scale_bits, cfg.n_mant_size_bits,
                 cfg.n_table_id_bits, pack_words)
             out["words"] = words
             out["nbits"] = nbits
         else:
             out["sign"] = jnp.where(transmit, sign, 0).astype(jnp.int8)
-            out["codes"] = codes.reshape(b, 2, half)
-            out["lens"] = lens.reshape(b, 2, half).astype(jnp.int8)
+            out["codes"] = codes.reshape(b, c, half)
+            out["lens"] = lens.reshape(b, c, half).astype(jnp.int8)
         if return_syms:
             out["syms"] = jnp.where(transmit, unsigned, -1)
         return out
@@ -355,6 +368,8 @@ def encode_body_baseline(cfg: CodecConfig):
               - cfg.n_mant_size_bits * layout.n_bands)
     sine = np.asarray(sine_window(n), np.float32)
 
+    c = cfg.n_channels
+
     def run(frames_i16: jax.Array, consts: dict):
         b = frames_i16.shape[0]
         frames = q_ops.pcm16_to_float(frames_i16)
@@ -365,16 +380,16 @@ def encode_body_baseline(cfg: CodecConfig):
         scaled = lines * jnp.exp2(overall[..., None].astype(lines.dtype))
 
         smr = psycho.calc_smrs(
-            sw.reshape(b * 2, n), scaled.reshape(b * 2, half),
+            sw.reshape(b * c, n), scaled.reshape(b * c, half),
             overall.reshape(-1), fs, layout,
-            consts=consts["psy"], peak_mode=cfg.peak_mode).reshape(b, 2, -1)
+            consts=consts["psy"], peak_mode=cfg.peak_mode).reshape(b, c, -1)
 
-        lrms = jnp.zeros((b * 2, layout.n_bands), bool)
+        lrms = jnp.zeros((b * c, layout.n_bands), bool)
         bits, _ = ba_ops.water_fill(
-            jnp.full(b * 2, int(budget), jnp.int32), max_mant, n_lines,
-            smr.reshape(b * 2, -1), lrms,
+            jnp.full(b * c, int(budget), jnp.int32), max_mant, n_lines,
+            smr.reshape(b * c, -1), lrms,
             cfg.ms_stop_threshold_db, cfg.lr_stop_threshold_db)
-        bits = bits.reshape(b, 2, -1)
+        bits = bits.reshape(b, c, -1)
 
         peak = psycho.band_max(jnp.abs(scaled), layout, fill=0.0)
         sf = q_ops.scale_factor(peak, cfg.n_scale_bits, bits)
@@ -415,13 +430,16 @@ def decode_body(cfg: CodecConfig, precision: str = "f32"):
                                     dtype=dt)
         vals = vals * jnp.exp2(-overall[..., None].astype(vals.dtype))
 
-        # Q1 aliasing: the reference decoder emits L' = M - S, R' = M
-        # (reference codec/codec.py:46-56)
-        line_ms = lrms[:, seg]
-        m, s = vals[:, 0], vals[:, 1]
-        out0 = jnp.where(line_ms, m - s, m)
-        out1 = jnp.where(line_ms, m, s)
-        lines = jnp.stack([out0, out1], axis=1)
+        if cfg.n_channels == 1:
+            lines = vals                  # mono: no M/S reconstruction
+        else:
+            # Q1 aliasing: the reference decoder emits L' = M - S, R' = M
+            # (reference codec/codec.py:46-56)
+            line_ms = lrms[:, seg]
+            m, s = vals[:, 0], vals[:, 1]
+            out0 = jnp.where(line_ms, m - s, m)
+            out1 = jnp.where(line_ms, m, s)
+            lines = jnp.stack([out0, out1], axis=1)
         return imdct(lines, consts["basis"]) * sine[None, None, :]
 
     return run
@@ -449,13 +467,15 @@ def _chunk_decode_packed_fn(cfg: CodecConfig, n_words: int,
     half = cfg.n_mdct_lines
     seg = np.asarray(cfg.band_layout.line_to_band)
 
+    c = cfg.n_channels
+
     def run(ba, sf, words, overall, lrms, carry, consts):
         b = ba.shape[0]
-        width = ba.astype(jnp.int32)[..., seg].reshape(b * 2, half)
+        width = ba.astype(jnp.int32)[..., seg].reshape(b * c, half)
         ends = jnp.cumsum(width, axis=-1)
         off = ends - width
         mant = pallas_ops.extract_codes(
-            words.reshape(b * 2, -1), off, width).reshape(b, 2, half)
+            words.reshape(b * c, -1), off, width).reshape(b, c, half)
         td = body(ba.astype(jnp.int32), sf.astype(jnp.int32), mant,
                   overall.astype(jnp.int32), lrms, consts)
         first, second = td[:, :, :half], td[:, :, half:]
@@ -522,7 +542,7 @@ def _reservoir_extras(savings: np.ndarray, leftover: np.ndarray,
             extra += deposit
             deposit = 0
         extras[t] = extra
-        deposit += int(savings[t, 0]) + int(savings[t, 1])
+        deposit += int(savings[t].sum())   # per-channel deposits, Q10
         extra = int(leftover[t])
     return extras, (deposit, extra)
 
@@ -552,6 +572,11 @@ class Engine:
             raise ValueError(f"unknown format {fmt!r}")
         if fmt == "pac" and rate_mode == "exact":
             raise ValueError("the baseline .pac coder has no reservoir")
+        if self.cfg.n_channels not in (1, 2):
+            raise ValueError("n_channels must be 1 or 2")
+        if self.cfg.n_channels == 1 and rate_mode == "exact":
+            raise ValueError("exact mode reproduces the reference's stereo "
+                             "trajectory; mono has no golden reference")
         _dtype(precision)  # validate
         self.rate_mode = rate_mode
         self.fmt = fmt
@@ -596,12 +621,15 @@ class Engine:
         whole point on a bandwidth-limited tunnel)."""
         cfg = self.cfg
         half = cfg.n_mdct_lines
+        if pcm.ndim != 2 or pcm.shape[1] != cfg.n_channels:
+            raise ValueError(f"pcm must be [n, {cfg.n_channels}] int16, "
+                             f"got {pcm.shape}")
         n_blocks = -(-pcm.shape[0] // half)
         b = n_blocks + 1                      # + flush block
         chunk = self._chunk(b)
         b_pad = -(-b // chunk) * chunk
 
-        glob = np.zeros((2, (b_pad + 1) * half), np.int16)
+        glob = np.zeros((cfg.n_channels, (b_pad + 1) * half), np.int16)
         n = min(pcm.shape[0], b_pad * half)
         glob[:, half:half + n] = pcm[:n].T
         dev = [jnp.asarray(np.ascontiguousarray(
@@ -658,7 +686,7 @@ class Engine:
         leftover chaining, codec/codec.py:229); past even that, the host
         serial packer."""
         if "words" in out:
-            nbits = np.asarray(out["nbits"])[:2 * n_blocks]
+            nbits = np.asarray(out["nbits"])[:self.cfg.n_channels * n_blocks]
             need = -(-int(nbits.max(initial=0)) // 32)
             if need > out["words"].shape[1]:
                 # smallest wide bucket that fits (few buckets -> few
@@ -683,16 +711,18 @@ class Engine:
         n_lines = np.asarray(cfg.band_layout.n_lines, np.int32)
         header, _ = rc.write_header(cfg, pcm.shape[0])
 
+        c = cfg.n_channels
         if self.fmt == "pac":
             out, b = self._encode_arrays_baseline(pcm)
             h = lambda k: np.asarray(out[k])[:b]  # noqa: E731
-            r2 = lambda a: a.reshape(2 * b, *a.shape[2:])  # noqa: E731
-            zeros_l = np.zeros((2 * b, int(n_lines.sum())), np.int32)
+            r2 = lambda a: a.reshape(c * b, *a.shape[2:])  # noqa: E731
+            zeros_l = np.zeros((c * b, int(n_lines.sum())), np.int32)
             payload = native.pack_file(
                 n_lines, cfg.n_scale_bits, cfg.n_mant_size_bits, 0,
                 r2(h("overall")), r2(h("overall")) * 0, r2(h("bits")),
                 r2(h("sf")), zeros_l, r2(h("mant")), r2(h("nm_l")),
-                np.zeros((b, cfg.n_bands), np.int32), write_lrms=False)
+                np.zeros((b, cfg.n_bands), np.int32), write_lrms=False,
+                n_channels=c)
             return header + payload
 
         outs, b, analyses, extras_chunks, chunk = self._encode_chunks(pcm)
@@ -712,18 +742,18 @@ class Engine:
         return b"".join(parts)
 
     def _assemble_device_packed(self, words: np.ndarray, nbits: np.ndarray,
-                                b: int) -> bytes:
+                                rows: int) -> bytes:
         """Slice big-endian bytes per channel-block and prepend the uint32
         length prefix (reference pacfile.py:314-322)."""
-        words = np.ascontiguousarray(words[:2 * b])
-        nbits = np.asarray(nbits[:2 * b], np.int32)
+        words = np.ascontiguousarray(words[:rows])
+        nbits = np.asarray(nbits[:rows], np.int32)
         if native.available():
             return native.assemble_rows(words, nbits)
         nbytes = (nbits.astype(np.int64) + 7) // 8
         row_bytes = words.astype(">u4").tobytes()
         stride = words.shape[1] * 4
         parts = []
-        for r in range(2 * b):
+        for r in range(rows):
             nb = int(nbytes[r])
             parts.append(struct.pack("<L", nb))
             parts.append(row_bytes[r * stride:r * stride + nb])
@@ -732,18 +762,19 @@ class Engine:
     def pack_payload(self, out, b: int) -> bytes:
         """Serialize encode outputs (fmt='wak') to the payload bytes."""
         cfg = self.cfg
+        c = cfg.n_channels
         if "words" in out:
             return self._assemble_device_packed(
-                np.asarray(out["words"]), np.asarray(out["nbits"]), b)
+                np.asarray(out["words"]), np.asarray(out["nbits"]), c * b)
         n_lines = np.asarray(cfg.band_layout.n_lines, np.int32)
         h = lambda k: np.asarray(out[k])[:b]  # noqa: E731
-        r2 = lambda a: a.reshape(2 * b, *a.shape[2:])  # noqa: E731
+        r2 = lambda a: a.reshape(c * b, *a.shape[2:])  # noqa: E731
         return native.pack_file(
             n_lines, cfg.n_scale_bits, cfg.n_mant_size_bits,
             cfg.n_table_id_bits,
             r2(h("overall")), r2(h("tid")), r2(h("bits")), r2(h("sf")),
             r2(h("sign")), r2(h("codes")), r2(h("lens")),
-            h("lrms").astype(np.int32))
+            h("lrms").astype(np.int32), n_channels=c)
 
     def _encode_arrays_baseline(self, pcm: np.ndarray):
         cfg = self.cfg
@@ -771,17 +802,19 @@ class Engine:
         declares, pacfile.py:231-271 incl. the Q6 padding quirk)."""
         cfg, num_samples, off = rc.read_header(data)
         half = cfg.n_mdct_lines
+        c = cfg.n_channels
         huff = self.fmt == "wak"
         parsed = native.unpack_file(
             data[off:], np.asarray(cfg.band_layout.n_lines, np.int32),
             cfg.n_scale_bits, cfg.n_mant_size_bits,
-            cfg.n_table_id_bits if huff else 0, read_lrms=huff)
-        b = parsed["n_cblocks"] // 2
+            cfg.n_table_id_bits if huff else 0, read_lrms=huff,
+            n_channels=c)
+        b = parsed["n_cblocks"] // c
         chunk = self._chunk(b)
         b_pad = -(-b // chunk) * chunk
 
         def d2(a, pad_value=0):
-            a = a.reshape(b, 2, *a.shape[1:])
+            a = a.reshape(b, c, *a.shape[1:])
             if b_pad > b:
                 pad = [(0, b_pad - b)] + [(0, 0)] * (a.ndim - 1)
                 a = np.pad(a, pad, constant_values=pad_value)
@@ -816,7 +849,7 @@ class Engine:
             run = _chunk_decode_fn(cfg, self.precision)
 
         pcm_chunks = []
-        carry = jnp.zeros((2, half), _dtype(self.precision))
+        carry = jnp.zeros((c, half), _dtype(self.precision))
         for i in range(0, b_pad, chunk):
             pcm16, carry = run(
                 jnp.asarray(ba[i:i + chunk]), jnp.asarray(sf[i:i + chunk]),
@@ -833,5 +866,5 @@ class Engine:
         else:
             flush = np.asarray(q_ops.float_to_pcm16(carry))
         audio = np.concatenate([ola[1:b], flush[None]], axis=0)
-        pcm = audio.transpose(1, 0, 2).reshape(2, -1).T[:num_samples].copy()
+        pcm = audio.transpose(1, 0, 2).reshape(c, -1).T[:num_samples].copy()
         return cfg.sample_rate, pcm

@@ -70,6 +70,9 @@ class StreamingEncoder:
         self._eng = Engine(cfg=cfg, rate_mode=rate_mode, fmt="wak",
                            chunk_blocks=chunk_blocks)
         self.cfg = self._eng.cfg
+        if self.cfg.n_channels != 2:
+            raise ValueError("streaming encode is stereo-only; use "
+                             "Engine directly for mono")
         half = self.cfg.n_mdct_lines
         # the encoder's entire sequential state:
         self._tail = np.zeros((2, half), np.int16)   # priorBlock

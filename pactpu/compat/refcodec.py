@@ -690,8 +690,8 @@ def write_header(cfg: CodecConfig, num_samples: int) -> Tuple[bytes, int]:
     if num_samples % cfg.n_mdct_lines == 0:
         num_samples += cfg.n_mdct_lines
     head = PAC_TAG + struct.pack(
-        "<LHLLHH", cfg.sample_rate, 2, num_samples, cfg.n_mdct_lines,
-        cfg.n_scale_bits, cfg.n_mant_size_bits)
+        "<LHLLHH", cfg.sample_rate, cfg.n_channels, num_samples,
+        cfg.n_mdct_lines, cfg.n_scale_bits, cfg.n_mant_size_bits)
     head += struct.pack("<L", layout.n_bands)
     head += struct.pack("<%dH" % layout.n_bands, *layout.n_lines)
     return head, num_samples
@@ -708,9 +708,9 @@ def read_header(data: bytes) -> Tuple[CodecConfig, int, int]:
     off += 4
     n_lines = struct.unpack_from("<%dH" % n_bands, data, off)
     off += 2 * n_bands
-    if n_ch != 2:
-        raise ValueError(f"only stereo supported, got {n_ch} channels")
-    cfg = CodecConfig(sample_rate=fs, n_mdct_lines=n_mdct,
+    if n_ch not in (1, 2):
+        raise ValueError(f"only mono/stereo supported, got {n_ch} channels")
+    cfg = CodecConfig(sample_rate=fs, n_channels=n_ch, n_mdct_lines=n_mdct,
                       n_scale_bits=n_scale_bits,
                       n_mant_size_bits=n_mant_size_bits)
     expect = assign_mdct_lines(n_mdct, fs)

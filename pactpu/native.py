@@ -55,8 +55,8 @@ def _load():
         lib.wak_pack_file.restype = ctypes.c_int64
         lib.wak_pack_file.argtypes = (
             [ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int,
-             ctypes.c_int, ctypes.c_int, ctypes.c_int] + [i32p] * 8
-            + [u8p, ctypes.c_int64])
+             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            + [i32p] * 8 + [u8p, ctypes.c_int64])
         lib.wak_assemble_rows.restype = ctypes.c_int64
         lib.wak_assemble_rows.argtypes = [u32p, ctypes.c_int, ctypes.c_int,
                                           i32p, u8p, ctypes.c_int64]
@@ -70,7 +70,7 @@ def _load():
         lib.wak_unpack_file.argtypes = (
             [u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int, i32p,
              ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-             ctypes.c_int] + [i32p] * 6)
+             ctypes.c_int, ctypes.c_int] + [i32p] * 6)
         _lib = lib
     return _lib
 
@@ -115,13 +115,15 @@ def pack_file(n_lines: np.ndarray, n_scale_bits: int, n_mant_size_bits: int,
               n_table_id_bits: int, overall: np.ndarray, table_id: np.ndarray,
               ba: np.ndarray, sf: np.ndarray, sign: np.ndarray,
               code: np.ndarray, length: np.ndarray,
-              lrms: np.ndarray, write_lrms: bool = True) -> bytes:
+              lrms: np.ndarray, write_lrms: bool = True,
+              n_channels: int = 2) -> bytes:
     """Serialize all channel-block payloads.
 
     Shapes: overall/table_id [R]; ba/sf [R, bands]; sign/code/length
-    [R, total_lines]; lrms [R//2, bands] (per block).  R = 2 * n_blocks in
-    block-major, channel-minor order.  n_table_id_bits == 0 selects the
-    baseline .pac layout (raw mantissas in `code`/`length`, no signs).
+    [R, total_lines]; lrms [R//n_channels, bands] (per block).
+    R = n_channels * n_blocks in block-major, channel-minor order.
+    n_table_id_bits == 0 selects the baseline .pac layout (raw mantissas
+    in `code`/`length`, no signs).
     """
     lib = _load()
     r = int(overall.shape[0])
@@ -141,7 +143,7 @@ def pack_file(n_lines: np.ndarray, n_scale_bits: int, n_mant_size_bits: int,
     out = np.zeros(cap, np.uint8)
     n = lib.wak_pack_file(
         r, n_bands, nl_p, total_lines, n_scale_bits, n_mant_size_bits,
-        n_table_id_bits, 1 if write_lrms else 0,
+        n_table_id_bits, 1 if write_lrms else 0, int(n_channels),
         ov_p, ti_p, ba_p, sf_p, sg_p, cd_p, ln_p, lr_p,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_int64(cap))
@@ -189,11 +191,11 @@ def repack_codes(mant: np.ndarray, ba: np.ndarray, n_lines: np.ndarray,
 
 def unpack_file(payload: bytes, n_lines: np.ndarray, n_scale_bits: int,
                 n_mant_size_bits: int, n_table_id_bits: int,
-                read_lrms: bool = True):
+                read_lrms: bool = True, n_channels: int = 2):
     """Parse every channel-block payload in `payload` (past the header).
 
     Returns dict of arrays keyed overall/table_id/ba/sf/mant [R, ...] and
-    lrms [R//2, bands], plus the parsed channel-block count R.
+    lrms [R//n_channels, bands], plus the parsed channel-block count R.
     """
     lib = _load()
     if n_table_id_bits > 0:
@@ -211,11 +213,12 @@ def unpack_file(payload: bytes, n_lines: np.ndarray, n_scale_bits: int,
     ba = np.zeros((r, n_bands), np.int32)
     sf = np.zeros((r, n_bands), np.int32)
     mant = np.zeros((r, total_lines), np.int32)
-    lrms = np.zeros(((r + 1) // 2, n_bands), np.int32)
+    lrms = np.zeros((-(-r // int(n_channels)), n_bands), np.int32)
     i32p = ctypes.POINTER(ctypes.c_int32)
     rc = lib.wak_unpack_file(
         dp, len(data), r, n_bands, nl_p, total_lines, n_scale_bits,
         n_mant_size_bits, n_table_id_bits, 1 if read_lrms else 0,
+        int(n_channels),
         overall.ctypes.data_as(i32p), table_id.ctypes.data_as(i32p),
         ba.ctypes.data_as(i32p), sf.ctypes.data_as(i32p),
         mant.ctypes.data_as(i32p), lrms.ctypes.data_as(i32p))

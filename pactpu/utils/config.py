@@ -88,6 +88,7 @@ class CodecConfig:
     """Static codec parameters (hashable; safe as a jit static argument)."""
 
     sample_rate: int = 44100
+    n_channels: int = 2               # header nChannels; 1 = mono extension
     n_mdct_lines: int = 1024          # half the MDCT window; window = 2N lines
     n_scale_bits: int = 4             # bits per scale factor
     n_mant_size_bits: int = 4         # bits per band bit-allocation field
