@@ -271,6 +271,42 @@ int64_t wak_repack_codes(int n_cblocks, int n_bands, const int32_t* n_lines,
   return maxbits;
 }
 
+// Assemble DENSE device-packed payload rows (wak_assemble_rows over a
+// flat buffer): row r's words start at word_offsets[r] in `words` and the
+// first (nbits[r]+7)/8 bytes are emitted big-endian after the uint32
+// little-endian byte-count prefix.  Returns bytes written, -1 on overflow.
+int64_t wak_assemble_rows_flat(const uint32_t* words,
+                               const int32_t* word_offsets,
+                               const int32_t* nbits, int n_rows,
+                               uint8_t* out, int64_t out_cap) {
+  int64_t pos = 0;
+  for (int r = 0; r < n_rows; ++r) {
+    int64_t nbytes = (static_cast<int64_t>(nbits[r]) + 7) / 8;
+    if (pos + 4 + nbytes > out_cap) return -1;
+    out[pos] = static_cast<uint8_t>(nbytes & 0xff);
+    out[pos + 1] = static_cast<uint8_t>((nbytes >> 8) & 0xff);
+    out[pos + 2] = static_cast<uint8_t>((nbytes >> 16) & 0xff);
+    out[pos + 3] = static_cast<uint8_t>((nbytes >> 24) & 0xff);
+    pos += 4;
+    const uint32_t* row = words + word_offsets[r];
+    int64_t full = nbytes / 4;
+    for (int64_t w = 0; w < full; ++w) {
+      uint32_t v = row[w];
+      out[pos++] = static_cast<uint8_t>(v >> 24);
+      out[pos++] = static_cast<uint8_t>(v >> 16);
+      out[pos++] = static_cast<uint8_t>(v >> 8);
+      out[pos++] = static_cast<uint8_t>(v);
+    }
+    int rem = static_cast<int>(nbytes - full * 4);
+    if (rem) {
+      uint32_t v = row[full];
+      for (int k = 0; k < rem; ++k)
+        out[pos++] = static_cast<uint8_t>(v >> (24 - 8 * k));
+    }
+  }
+  return pos;
+}
+
 // Count channel payloads by walking the nBytes prefixes.
 int64_t wak_count_blocks(const uint8_t* data, int64_t size) {
   int64_t off = 0, n = 0;

@@ -104,6 +104,36 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_debug(args) -> int:
+    """Per-block masking-curve/SMR/allocation dump — the reference's
+    block-1 debug plots (codec/psychoac.py:524-658) as data: prints a
+    per-band table and optionally writes every curve to an .npz."""
+    import numpy as np
+
+    from pactpu.codec.wav import read_wav
+    from pactpu.utils.config import CodecConfig
+    from pactpu.utils.metrics import debug_block
+
+    wav = read_wav(args.input)
+    cfg = CodecConfig(sample_rate=wav.sample_rate)
+    d = debug_block(wav.samples, args.block, cfg)
+    if args.out:
+        np.savez(args.out, **d)
+        print(f"wrote {args.out}")
+    layout = cfg.band_layout
+    print(f"block {args.block}: overall scale {d['overall'].tolist()}, "
+          f"budget {float(d['budget']):.0f} bits, "
+          f"{int(d['lrms'].sum())}/{layout.n_bands} bands M/S")
+    print("band  lines  mode  SMR0    SMR1    bits0 bits1 sf0 sf1")
+    for b in range(layout.n_bands):
+        print(f"{b:4d}  {layout.n_lines[b]:5d}  "
+              f"{'M/S' if d['lrms'][b] else 'L/R'}  "
+              f"{d['smr'][0, b]:7.2f} {d['smr'][1, b]:7.2f}  "
+              f"{d['bits'][0, b]:5d} {d['bits'][1, b]:5d} "
+              f"{d['sf'][0, b]:3d} {d['sf'][1, b]:3d}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     from pactpu.codec.wav import read_wav
     eng = _engine(args)
@@ -155,6 +185,14 @@ def main(argv=None) -> int:
     st.add_argument("--rate", choices=("cbr", "reservoir"),
                     default="reservoir")
     st.set_defaults(fn=cmd_stats)
+
+    dbg = sub.add_parser("debug")
+    dbg.add_argument("input")
+    dbg.add_argument("--block", type=int, default=1,
+                     help="coded block index (default 1, as the reference)")
+    dbg.add_argument("--out", default=None,
+                     help="write all curves to this .npz")
+    dbg.set_defaults(fn=cmd_debug)
 
     be = sub.add_parser("bench")
     be.add_argument("input")

@@ -27,13 +27,14 @@ t to t+1, codec/Huffman.py:353-371, codec/codec.py:229):
 - "cbr":       every block allocates from the flat per-block budget
                (extraBits = 0); fully parallel, single pass.
 - "reservoir": two parallel passes.  Pass 1 measures per-channel Huffman
-               savings and allocation leftovers with extraBits = 0; a cheap
-               host scan then replays the reference reservoir policy
+               savings and allocation leftovers with extraBits = 0; a tiny
+               device lax.scan then replays the reference reservoir policy
                (deposit savings, withdraw 1%/block, carry allocation
                leftovers) to assign per-block extra bits; pass 2 re-encodes
                with those extras.  This reproduces the reference's VBR
                behavior to second order while keeping every device op
-               batch-parallel.
+               batch-parallel — and the whole encode fully async: the host
+               blocks exactly once, on the packed-payload download.
 - "exact":     the reference's exact sequential trajectory: per-allocation
                Huffman cost tables precomputed in parallel + a tiny device
                lax.scan over blocks (pactpu.codec.exact).  With
@@ -69,15 +70,22 @@ from pactpu.compat import refcodec as rc
 DEFAULT_CHUNK_BLOCKS = 512
 
 # u32 words per channel-block payload for the on-device packer.  Sized for
-# the real operating range (2.27 bits/sample budget + side info + escape
-# slack = ~3.2 kbit < 4096 bits), NOT the theoretical ceiling (~18.7 kbit):
-# the words buffer is downloaded through a ~20 MB/s tunnel, so padding is
-# the dominant cost.  Payloads legitimately exceed this after long quiet
-# passages (the reference's leftover chaining hands the next block the
-# whole unspent budget) — a chunk containing such a block is transparently
-# re-encoded with the wide packer, and past even that, the host packer
-# (Engine._chunk_payload).
-PACK_WORDS = 128
+# the real operating range INCLUDING post-quiet reservoir spikes (the
+# reference's leftover chaining hands a block the whole unspent budget:
+# castanets measures 232 words, speech 160 at 2.27 bits/sample), NOT the
+# theoretical ceiling (~18.7 kbit): the words buffer is downloaded through
+# the tunnel (~35-50 MB/s, ~25 ms/fetch), and a chunk that overflows this
+# width pays a wide re-finalize round trip — far more than the extra
+# padding bytes, so width is chosen to make overflow rare.  Past even
+# this, a chunk is transparently re-encoded with the wide packer, and
+# past that, the host packer (Engine._chunk_payload).
+PACK_WORDS = 256
+# Average u32 words per row budgeted for the DENSE payload download
+# (Engine._payload_device_packed): corpus payloads average ~69 words per
+# channel-block at 2.27 bits/sample, and the chunk TOTAL absorbs per-row
+# spikes, so this cap overflows only on pathological content (then the
+# padded download takes over).
+PACK_DENSE_WORDS = 112
 # True per-channel-block ceiling for the SHIPPED tables: overall(4) + tid(4)
 # + 25*(ba 4 + sf 4) + 25 lrms + 1024 signs + 1024 * (max escape 13 + max
 # mantissa 16) = 30,961 bits = 968 u32 words.  Freshly trained tables may
@@ -522,6 +530,43 @@ def _pad_blocks(b: int, cap: int = DEFAULT_CHUNK_BLOCKS) -> int:
     return min(n, cap)
 
 
+@lru_cache(maxsize=16)
+def _reservoir_scan_fn(cfg: CodecConfig):
+    """Device replay of the reference reservoir policy over measured
+    per-block (savings, leftover) — the same trajectory `_reservoir_extras`
+    computes on the host, as a tiny `lax.scan` so the two-pass reservoir
+    mode never downloads the measurement pass: through the remote tunnel a
+    blocking fetch costs ~25 ms regardless of size (PERF.md), and this scan
+    keeps the whole encode pipeline async until the payload download.
+
+    `(savings i32[B, C], leftover i32[B], valid bool[B], carry i32[2])
+    -> (extras f32[B], carry')`; carry = (bitDeposit, extraBits).
+    Policy: reference codec/Huffman.py:353-371, codec/codec.py:229,258-260.
+    """
+    divisor = cfg.reservoir_withdraw_divisor
+
+    def step(carry, x):
+        deposit, extra = carry
+        s, l, v = x
+        w = jnp.where(deposit > 10, deposit // divisor, 0)
+        neg = (deposit <= 10) & (deposit < 0)
+        granted = extra + w + jnp.where(neg, deposit, 0)
+        dep2 = jnp.where(deposit > 10, deposit - w,
+                         jnp.where(neg, 0, deposit))
+        new_carry = (jnp.where(v, dep2 + s, deposit).astype(jnp.int32),
+                     jnp.where(v, l, extra).astype(jnp.int32))
+        return new_carry, jnp.where(v, granted, 0)
+
+    def run(savings, leftover, valid, carry):
+        (dep, ext), extras = jax.lax.scan(
+            step, (carry[0], carry[1]),
+            (jnp.sum(savings.astype(jnp.int32), axis=1),
+             leftover.astype(jnp.int32), valid))
+        return extras.astype(jnp.float32), jnp.stack([dep, ext])
+
+    return jax.jit(run)
+
+
 def _reservoir_extras(savings: np.ndarray, leftover: np.ndarray,
                       divisor: int, deposit: int = 0, extra: int = 0):
     """Host replay of the reference reservoir policy over per-block pass-1
@@ -586,16 +631,21 @@ class Engine:
             device_pack = not os.environ.get("PACTPU_NO_DEVICE_PACK")
         self.pack_words = PACK_WORDS if (device_pack and fmt == "wak") else 0
         self._consts_dev = None
-        self.last_savings = None  # Huffman bits saved by the last encode()
-        # measurement-pass (extraBits = 0) savings/leftover of the last
-        # reservoir-mode encode — the numbers that actually drove the
-        # reservoir replay, for exact stats reconstruction
-        # (pactpu.utils.metrics.collect_encode_stats)
-        self.last_measure = None
-        # per-block extraBits granted by the last encode (any rate mode) —
-        # the trajectory observability tools/quality_report.py compares
-        # across rate modes
-        self.last_extras = None
+        # optional pactpu.utils.metrics.StageTimer: when set, encode/decode
+        # record their host-side pipeline stages into it (the VERDICT
+        # round-1 perf-breakdown contract; tools/perf_breakdown.py)
+        self.timer = None
+        # observability state (last_savings / last_measure / last_extras
+        # properties): kept as DEVICE arrays and only fetched on first
+        # access — a blocking tunnel fetch costs ~25 ms (PERF.md), so the
+        # hot encode path must not pay for stats nobody reads
+        self._savings_dev = None
+        self._savings_np = None
+        self._measure_dev = None
+        self._measure_np = None
+        self._extras_dev = None
+        self._extras_np = None
+        self._last_b = 0
 
     def consts(self) -> dict:
         """Device-resident constant tables (uploaded once per Engine)."""
@@ -610,6 +660,51 @@ class Engine:
 
     def _chunk(self, b: int) -> int:
         return self.chunk_blocks or _pad_blocks(b)
+
+    @property
+    def last_savings(self):
+        """Huffman bits saved by the last encode() (the reference driver's
+        bits-saved readout, pacfile.py:439); fetched lazily."""
+        if self._savings_dev is not None:
+            self._savings_np = int(
+                np.asarray(self._savings_dev)[:self._last_b].sum())
+            self._savings_dev = None
+        return self._savings_np
+
+    @property
+    def last_measure(self):
+        """Measurement-pass (extraBits = 0) savings/leftover of the last
+        reservoir-mode encode — the numbers that actually drove the
+        reservoir scan, for exact stats reconstruction
+        (pactpu.utils.metrics.collect_encode_stats); fetched lazily."""
+        if self._measure_dev is not None:
+            b = self._last_b
+            self._measure_np = (
+                np.concatenate([np.asarray(m["savings"])
+                                for m in self._measure_dev])[:b],
+                np.concatenate([np.asarray(m["leftover"])
+                                for m in self._measure_dev])[:b])
+            self._measure_dev = None
+        return self._measure_np
+
+    @property
+    def last_extras(self):
+        """Per-block extraBits granted by the last encode (any rate mode) —
+        the trajectory observability tools/quality_report.py compares
+        across rate modes; fetched lazily."""
+        if self._extras_dev is not None:
+            self._extras_np = np.concatenate(
+                [np.asarray(e) for e in self._extras_dev])[:self._last_b]
+            self._extras_dev = None
+        return self._extras_np
+
+    def _stage(self, name: str):
+        """Timing scope for one pipeline stage (no-op without a timer).
+        Dispatch stages measure enqueue time only (JAX is async); the
+        blocking stages (downloads, host packing) absorb device time."""
+        import contextlib
+        return (self.timer.stage(name) if self.timer is not None
+                else contextlib.nullcontext())
 
     # -- encode ----------------------------------------------------------
 
@@ -628,13 +723,17 @@ class Engine:
         b = n_blocks + 1                      # + flush block
         chunk = self._chunk(b)
         b_pad = -(-b // chunk) * chunk
+        self._savings_dev = self._measure_dev = self._extras_dev = None
+        self._savings_np = self._measure_np = self._extras_np = None
+        self._last_b = b
 
-        glob = np.zeros((cfg.n_channels, (b_pad + 1) * half), np.int16)
-        n = min(pcm.shape[0], b_pad * half)
-        glob[:, half:half + n] = pcm[:n].T
-        dev = [jnp.asarray(np.ascontiguousarray(
-                   glob[:, i * half:(i + chunk + 1) * half]))
-               for i in range(0, b_pad, chunk)]
+        with self._stage("encode/upload-pcm"):
+            glob = np.zeros((cfg.n_channels, (b_pad + 1) * half), np.int16)
+            n = min(pcm.shape[0], b_pad * half)
+            glob[:, half:half + n] = pcm[:n].T
+            dev = [jnp.asarray(np.ascontiguousarray(
+                       glob[:, i * half:(i + chunk + 1) * half]))
+                   for i in range(0, b_pad, chunk)]
 
         consts = self.consts()
 
@@ -645,35 +744,41 @@ class Engine:
         analyze = _chunk_analyze_fn(cfg, self.precision)
         finalize = _finalize_fn(cfg, pack_words=self.pack_words,
                                 precision=self.precision)
-        analyses = [analyze(d, consts) for d in dev]
+        with self._stage("encode/analyze-dispatch"):
+            analyses = [analyze(d, consts) for d in dev]
 
         zeros = jnp.zeros(chunk, jnp.float32)
         extras_chunks = [zeros] * len(analyses)
         if self.rate_mode == "reservoir":
-            # pass 1: measurement-only program (payload serialization DCE'd)
+            # pass 1: measurement-only program (payload serialization
+            # DCE'd), chained into the device reservoir scan — zero host
+            # round trips; the measurement arrays are fetched lazily only
+            # if somebody reads .last_measure
             measure = _finalize_fn(cfg, measure_only=True,
                                    precision=self.precision)
-            m_outs = [measure(a, zeros, consts) for a in analyses]
-            savings = np.concatenate(
-                [np.asarray(o["savings"]) for o in m_outs])[:b]
-            leftover = np.concatenate(
-                [np.asarray(o["leftover"]) for o in m_outs])[:b]
-            extras = np.zeros(b_pad, np.float32)
-            extras[:b], _ = _reservoir_extras(
-                savings, leftover, cfg.reservoir_withdraw_divisor)
-            extras_chunks = [jnp.asarray(extras[i:i + chunk])
-                             for i in range(0, b_pad, chunk)]
-            self.last_measure = (savings, leftover)
+            scan = _reservoir_scan_fn(cfg)
+            with self._stage("encode/measure+reservoir-dispatch"):
+                carry = jnp.zeros(2, jnp.int32)
+                extras_chunks, m_outs = [], []
+                for k, a in enumerate(analyses):
+                    m = measure(a, zeros, consts)
+                    valid = jnp.arange(chunk) < max(0, b - k * chunk)
+                    ex, carry = scan(m["savings"], m["leftover"], valid,
+                                     carry)
+                    extras_chunks.append(ex)
+                    m_outs.append(m)
+            self._measure_dev = m_outs
         elif self.rate_mode == "exact":
             # exact sequential trajectory: device cost tables + lax.scan,
             # zero host round trips (pactpu.codec.exact)
             from pactpu.codec import exact
-            extras_chunks, _ = exact.exact_extras_chunked(
-                analyses, consts, cfg, self.precision, chunk, b)
-        outs = [finalize(a, ex, consts)
-                for a, ex in zip(analyses, extras_chunks)]
-        self.last_extras = np.concatenate(
-            [np.asarray(e) for e in extras_chunks])[:b]
+            with self._stage("encode/exact-extras"):
+                extras_chunks, _ = exact.exact_extras_chunked(
+                    analyses, consts, cfg, self.precision, chunk, b)
+        with self._stage("encode/finalize-dispatch"):
+            outs = [finalize(a, ex, consts)
+                    for a, ex in zip(analyses, extras_chunks)]
+        self._extras_dev = extras_chunks
         return outs, b, analyses, extras_chunks, chunk
 
     def _chunk_payload(self, out, analysis, extra_chunk: np.ndarray,
@@ -727,18 +832,91 @@ class Engine:
 
         outs, b, analyses, extras_chunks, chunk = self._encode_chunks(pcm)
         parts = [header]
+        if outs and "words" in outs[0]:
+            parts.append(self._payload_device_packed(
+                outs, analyses, extras_chunks, b, chunk))
+        else:
+            done = 0
+            for o, a, ex in zip(outs, analyses, extras_chunks):
+                nb = min(chunk, b - done)
+                if nb <= 0:
+                    break
+                with self._stage("encode/payload-download+assemble"):
+                    parts.append(self._chunk_payload(o, a, ex, nb))
+                done += nb
+        # observability: Huffman savings of the encoded stream (the
+        # reference driver's bits-saved readout, pacfile.py:439); the
+        # device concat is enqueued async and only fetched if read
+        self._savings_dev = jnp.concatenate([o["savings"] for o in outs])
+        return b"".join(parts)
+
+    def _payload_device_packed(self, outs, analyses, extras_chunks,
+                               b: int, chunk: int) -> bytes:
+        """Assemble the payload from device-packed word rows with ONE
+        blocking download for the whole file — the ~25 ms/fetch tunnel
+        round trip, not bandwidth, is the single-chip bottleneck (PERF.md).
+
+        The download is DENSE: rows are compacted by their actual word
+        counts (pactpu.ops.bitpack.compact_rows) into a buffer sized
+        PACK_DENSE_WORDS per row ON AVERAGE (chunk totals absorb per-row
+        spikes that would overflow a per-row width), with nbits appended.
+        Fallbacks, outermost first: dense-total overflow -> padded rows
+        download; per-row overflow of the narrow packer -> that chunk is
+        re-finalized with a wide packer; no native runtime -> padded rows
+        + python framing."""
+        c = self.cfg.n_channels
+        width = outs[0]["words"].shape[1]
+        rows_all = len(outs) * chunk * c
+        words_all = None                   # padded rows (fallback only)
+        use_dense = native.available()
+        with self._stage("encode/words-download"):
+            if use_dense:
+                cap = rows_all * PACK_DENSE_WORDS
+                dn = np.asarray(pack_ops.compact_rows(
+                    jnp.concatenate([o["words"] for o in outs]),
+                    jnp.concatenate([o["nbits"] for o in outs]), cap))
+                nbits_all = dn[cap:].astype(np.int32)
+                counts = np.minimum((nbits_all + 31) // 32, width)
+                offsets = np.concatenate(
+                    [[0], np.cumsum(counts[:-1])]).astype(np.int32)
+                if int(counts.sum()) > cap:
+                    use_dense = False      # dense overflow: padded rows
+                else:
+                    dense = dn[:cap]
+            if not use_dense:
+                wn = np.asarray(jnp.concatenate(
+                    [jnp.concatenate(
+                        [o["words"],
+                         o["nbits"].astype(jnp.uint32)[:, None]], axis=1)
+                     for o in outs]))
+                nbits_all = wn[:, -1].astype(np.int32)
+                words_all = wn[:, :-1]
+        parts = []
         done = 0
-        for o, a, ex in zip(outs, analyses, extras_chunks):
+        for k, (a, ex) in enumerate(zip(analyses, extras_chunks)):
             nb = min(chunk, b - done)
             if nb <= 0:
                 break
-            parts.append(self._chunk_payload(o, a, ex, nb))
+            rows = slice(k * chunk * c, k * chunk * c + c * nb)
+            nb_rows = nbits_all[rows]
+            need = -(-int(nb_rows.max(initial=0)) // 32)
+            with self._stage("encode/payload-assemble"):
+                if need > width:
+                    # rare post-quiet spike beyond even PACK_WORDS
+                    wide_words = next(
+                        (w for w in (384, PACK_WORDS_MAX) if w >= need), 0)
+                    wide = _finalize_fn(self.cfg, pack_words=wide_words,
+                                        precision=self.precision)
+                    wout = wide(a, jnp.asarray(ex), self.consts())
+                    parts.append(self.pack_payload(
+                        {kk: wout[kk] for kk in ("words", "nbits")}, nb))
+                elif use_dense:
+                    parts.append(native.assemble_rows_flat(
+                        dense, offsets[rows], nb_rows))
+                else:
+                    parts.append(self._assemble_device_packed(
+                        words_all[rows], nb_rows, c * nb))
             done += nb
-        # observability: Huffman savings of the encoded stream (the
-        # reference driver's bits-saved readout, pacfile.py:439)
-        self.last_savings = int(sum(
-            int(np.asarray(o["savings"])[:min(chunk, b - i)].sum())
-            for i, o in zip(range(0, b, chunk), outs)))
         return b"".join(parts)
 
     def _assemble_device_packed(self, words: np.ndarray, nbits: np.ndarray,
@@ -779,6 +957,8 @@ class Engine:
     def _encode_arrays_baseline(self, pcm: np.ndarray):
         cfg = self.cfg
         half = cfg.n_mdct_lines
+        self._savings_dev = self._measure_dev = self._extras_dev = None
+        self._savings_np = self._measure_np = self._extras_np = None
         n_blocks = -(-pcm.shape[0] // half)
         b = n_blocks + 1
         chunk = self._chunk(b)
@@ -804,11 +984,12 @@ class Engine:
         half = cfg.n_mdct_lines
         c = cfg.n_channels
         huff = self.fmt == "wak"
-        parsed = native.unpack_file(
-            data[off:], np.asarray(cfg.band_layout.n_lines, np.int32),
-            cfg.n_scale_bits, cfg.n_mant_size_bits,
-            cfg.n_table_id_bits if huff else 0, read_lrms=huff,
-            n_channels=c)
+        with self._stage("decode/parse-native"):
+            parsed = native.unpack_file(
+                data[off:], np.asarray(cfg.band_layout.n_lines, np.int32),
+                cfg.n_scale_bits, cfg.n_mant_size_bits,
+                cfg.n_table_id_bits if huff else 0, read_lrms=huff,
+                n_channels=c)
         b = parsed["n_cblocks"] // c
         chunk = self._chunk(b)
         b_pad = -(-b // chunk) * chunk
@@ -835,14 +1016,16 @@ class Engine:
         if packed:
             # fixed-width word rows instead of u16-per-line codes: ~6x
             # less upload; the extract_codes kernel re-slices on device
-            n_lines = np.asarray(cfg.band_layout.n_lines, np.int64)
-            max_bits = int((parsed["ba"] * n_lines[None, :]).sum(1).max(
-                initial=0))
-            n_words = next((w for w in _WORD_BUCKETS if w * 32 >= max_bits),
-                           -(-max_bits // 32))
-            mant = d2(native.repack_codes(
-                parsed["mant"], parsed["ba"],
-                np.asarray(cfg.band_layout.n_lines, np.int32), n_words))
+            with self._stage("decode/repack-native"):
+                n_lines = np.asarray(cfg.band_layout.n_lines, np.int64)
+                max_bits = int((parsed["ba"] * n_lines[None, :]).sum(1).max(
+                    initial=0))
+                n_words = next(
+                    (w for w in _WORD_BUCKETS if w * 32 >= max_bits),
+                    -(-max_bits // 32))
+                mant = d2(native.repack_codes(
+                    parsed["mant"], parsed["ba"],
+                    np.asarray(cfg.band_layout.n_lines, np.int32), n_words))
             run = _chunk_decode_packed_fn(cfg, n_words, self.precision)
         else:
             mant = d2(parsed["mant"]).astype(np.uint16)
@@ -850,21 +1033,24 @@ class Engine:
 
         pcm_chunks = []
         carry = jnp.zeros((c, half), _dtype(self.precision))
-        for i in range(0, b_pad, chunk):
-            pcm16, carry = run(
-                jnp.asarray(ba[i:i + chunk]), jnp.asarray(sf[i:i + chunk]),
-                jnp.asarray(mant[i:i + chunk]),
-                jnp.asarray(overall[i:i + chunk]),
-                jnp.asarray(lrms[i:i + chunk]), carry, consts)
-            pcm_chunks.append(pcm16)
-        ola = np.concatenate([np.asarray(c) for c in pcm_chunks])[:b + 1]
-        # reference driver: drop block 0 (MDCT delay), append the final
-        # flush half = second half of block b-1 (padded blocks decode to
-        # silence, so when b < b_pad it is OLA block b; otherwise the carry)
-        if b < b_pad:
-            flush = ola[b]
-        else:
-            flush = np.asarray(q_ops.float_to_pcm16(carry))
-        audio = np.concatenate([ola[1:b], flush[None]], axis=0)
+        with self._stage("decode/upload+dispatch"):
+            for i in range(0, b_pad, chunk):
+                pcm16, carry = run(
+                    jnp.asarray(ba[i:i + chunk]),
+                    jnp.asarray(sf[i:i + chunk]),
+                    jnp.asarray(mant[i:i + chunk]),
+                    jnp.asarray(overall[i:i + chunk]),
+                    jnp.asarray(lrms[i:i + chunk]), carry, consts)
+                pcm_chunks.append(pcm16)
+            # the final-flush half (reference pacfile.py:171-178) is the
+            # carry when every block was real, else the OLA of the first
+            # padded block — appending the carry row on device unifies
+            # both and keeps the download a SINGLE fetch
+            tail = q_ops.float_to_pcm16(carry)[None]
+            ola_dev = jnp.concatenate(pcm_chunks + [tail])[:b + 1]
+        with self._stage("decode/download"):
+            ola = np.asarray(ola_dev)
+        # reference driver: drop block 0 (MDCT delay), keep the flush row
+        audio = ola[1:b + 1]
         pcm = audio.transpose(1, 0, 2).reshape(c, -1).T[:num_samples].copy()
         return cfg.sample_rate, pcm

@@ -60,6 +60,10 @@ def _load():
         lib.wak_assemble_rows.restype = ctypes.c_int64
         lib.wak_assemble_rows.argtypes = [u32p, ctypes.c_int, ctypes.c_int,
                                           i32p, u8p, ctypes.c_int64]
+        lib.wak_assemble_rows_flat.restype = ctypes.c_int64
+        lib.wak_assemble_rows_flat.argtypes = [u32p, i32p, i32p,
+                                               ctypes.c_int, u8p,
+                                               ctypes.c_int64]
         lib.wak_repack_codes.restype = ctypes.c_int64
         lib.wak_repack_codes.argtypes = [ctypes.c_int, ctypes.c_int, i32p,
                                          ctypes.c_int, i32p, i32p, u32p,
@@ -167,6 +171,27 @@ def assemble_rows(words: np.ndarray, nbits: np.ndarray) -> bytes:
         ctypes.c_int64(cap))
     if n < 0:
         raise RuntimeError("wak_assemble_rows: row overran its words buffer")
+    return out[:n].tobytes()
+
+
+def assemble_rows_flat(words_flat: np.ndarray, word_offsets: np.ndarray,
+                       nbits: np.ndarray) -> bytes:
+    """Frame DENSE device-packed payload rows: like assemble_rows, but row
+    r's words start at word_offsets[r] in the flat u32 buffer."""
+    lib = _load()
+    words_flat = np.ascontiguousarray(words_flat, np.uint32)
+    off, off_p = _i32(word_offsets)
+    nb, nb_p = _i32(nbits)
+    r = int(nb.shape[0])
+    cap = int(4 * r + ((nb.astype(np.int64) + 7) // 8).sum())
+    out = np.empty(cap, np.uint8)
+    n = lib.wak_assemble_rows_flat(
+        words_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        off_p, nb_p, r,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(cap))
+    if n < 0:
+        raise RuntimeError("wak_assemble_rows_flat: capacity exceeded")
     return out[:n].tobytes()
 
 

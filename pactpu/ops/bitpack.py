@@ -137,3 +137,29 @@ def pack_payload_bits(overall: jax.Array, tid: jax.Array, ba: jax.Array,
     words = words.at[rows, w0].add(part0, mode="drop")
     words = words.at[rows, w0 + 1].add(part1, mode="drop")
     return words, nbits
+
+
+def compact_rows(words: jax.Array, nbits: jax.Array, cap: int) -> jax.Array:
+    """Dense-pack padded payload rows for download.
+
+    words: u32[R, W] device-packed rows; nbits: i32[R].  Row r occupies
+    ceil(nbits[r]/32) words (clamped to W); those words land contiguously
+    at the exclusive prefix sum of the counts.  Returns u32[cap + R]: the
+    dense buffer followed by nbits (as u32), so the whole payload of a
+    file arrives in ONE tunnel fetch sized by the chunk TOTAL (~mean
+    payload x rows) instead of rows x worst-case width — per-row spikes
+    amortize across the chunk.  Content past the cap is silently dropped;
+    the caller must check sum(counts) <= cap from the appended nbits and
+    fall back to the padded download when it overflows.
+    """
+    r, w = words.shape
+    counts = jnp.minimum((nbits.astype(jnp.int32) + 31) // 32, w)
+    ends = jnp.cumsum(counts)
+    j = jnp.arange(cap, dtype=jnp.int32)
+    row = jnp.searchsorted(ends, j, side="right").astype(jnp.int32)
+    row_c = jnp.minimum(row, r - 1)
+    col = j - (ends[row_c] - counts[row_c])
+    valid = (row < r) & (col >= 0) & (col < w)
+    dense = jnp.where(
+        valid, words[row_c, jnp.clip(col, 0, w - 1)], jnp.uint32(0))
+    return jnp.concatenate([dense, nbits.astype(jnp.uint32)])

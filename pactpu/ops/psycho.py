@@ -363,7 +363,8 @@ def calc_smrs(sine_windowed: jax.Array, scaled_lines: jax.Array,
 
 def stereo_smrs(sine_windowed: jax.Array, scaled_lines: jax.Array,
                 overall_scale: jax.Array, lrms: jax.Array, fs: int, layout,
-                consts=None, peak_mode: str = "ref"):
+                consts=None, peak_mode: str = "ref",
+                return_curves: bool = False):
     """Stereo SMRs + channel-mixed MDCT lines for a batch of blocks
     (reference getStereoMaskThreshold, codec/psychoac.py:506-682).
 
@@ -418,6 +419,13 @@ def stereo_smrs(sine_windowed: jax.Array, scaled_lines: jax.Array,
     smr = jnp.where(lrms_b, smr_ms, smr_lr)
     line_lrms = lrms[:, None, jnp.asarray(layout.line_to_band)]
     mixed = jnp.where(line_lrms, ms_lines, scaled_lines)
+    if return_curves:
+        # per-line diagnostic curves: the numeric analogue of the
+        # reference's block-1 masking plots (psychoac.py:524-658)
+        return smr, mixed, dict(
+            bthr=thr, thr_lr=thr_lr, thr_ms=thr_ms,
+            spl_lr=lr_spl, spl_ms=ms_spl, mld=mld,
+            smr_lr=smr_lr, smr_ms=smr_ms)
     return smr, mixed
 
 

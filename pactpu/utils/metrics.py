@@ -169,6 +169,90 @@ def device_trace(log_dir: str, enabled: bool = True) -> Iterator[None]:
         yield
 
 
+def debug_block(pcm: np.ndarray, block_index: int, cfg=None,
+                extra_bits: float = 0.0) -> Dict[str, np.ndarray]:
+    """Full psychoacoustic + rate-control diagnostic for ONE block — the
+    numeric analogue of the reference's block-1 masking-curve debug plots
+    (reference codec/psychoac.py:524-658, gated on codingParams.curBlock==1).
+
+    pcm: int16 [n, 2]; block_index counts coded blocks (0 = the first
+    block, whose priorBlock is silence, as in pacfile.py:264-268).
+
+    Returns a dict of numpy arrays, all in dB at the MDCT line frequencies
+    unless noted:
+      line_freqs f64[half]; spl_lr/spl_ms f32[2, half] signal SPLs;
+      bthr f32[6, half] the six raw masked thresholds (L, R, M, S, and the
+      no-drop MLD variants M', S'); thr_lr/thr_ms f32[2, half] the combined
+      thresholds; mld f32[half]; smr_lr/smr_ms f32[2, bands];
+      lrms bool[bands]; smr f32[2, bands] the selected per-band SMRs;
+      bits i32[2, bands] the water-filling allocation; sf i32[2, bands]
+      scale factors; overall i32[2]; budget f64[].
+    """
+    import jax.numpy as jnp
+
+    from pactpu.ops import bitalloc as ba_ops
+    from pactpu.ops import psycho
+    from pactpu.ops import quantize as q_ops
+    from pactpu.ops.mdct import mdct
+    from pactpu.ops.windows import sine_window
+    from pactpu.utils.config import CodecConfig
+
+    cfg = cfg or CodecConfig()
+    half = cfg.n_mdct_lines
+    layout = cfg.band_layout
+    lo = (block_index - 1) * half
+    frame = np.zeros((2, 2 * half), np.int16)
+    seg = pcm[max(lo, 0):lo + 2 * half].T
+    frame[:, max(-lo, 0):max(-lo, 0) + seg.shape[1]] = seg
+
+    frames = q_ops.pcm16_to_float(jnp.asarray(frame[None]))
+    sine = jnp.asarray(sine_window(2 * half), frames.dtype)
+    sw = frames * sine[None, None, :]
+    lines = mdct(sw)
+    overall = q_ops.scale_factor(
+        jnp.max(jnp.abs(lines), axis=-1), cfg.n_scale_bits, 5)
+    scaled = lines * jnp.exp2(overall[..., None].astype(lines.dtype))
+    lrms = psycho.lrms_decision(frames, layout, cfg.ms_decision_factor)
+    smr, mixed, curves = psycho.stereo_smrs(
+        sw, scaled, overall, lrms, cfg.sample_rate, layout,
+        peak_mode=cfg.peak_mode, return_curves=True)
+
+    max_mant = min(1 << cfg.n_mant_size_bits, cfg.max_mant_bits)
+    budget = float(cfg.bit_budget())
+    total0 = jnp.asarray([int(budget + extra_bits)], jnp.int32)
+    bits0, left0 = ba_ops.water_fill(
+        total0, max_mant, jnp.asarray(layout.n_lines_array), smr[:, 0],
+        lrms, cfg.ms_stop_threshold_db, cfg.lr_stop_threshold_db)
+    total1 = jnp.asarray([int(budget)], jnp.int32) + left0
+    bits1, _ = ba_ops.water_fill(
+        total1, max_mant, jnp.asarray(layout.n_lines_array), smr[:, 1],
+        lrms, cfg.ms_stop_threshold_db, cfg.lr_stop_threshold_db)
+    bits = jnp.concatenate([bits0, bits1])
+
+    peak = psycho.band_max(jnp.abs(mixed), layout, fill=0.0)
+    sf = q_ops.scale_factor(peak, cfg.n_scale_bits, bits[None])
+
+    line_freqs = (np.arange(half) + 0.5) / half * (cfg.sample_rate / 2.0)
+    out = dict(
+        line_freqs=line_freqs,
+        spl_lr=np.asarray(curves["spl_lr"][0]),
+        spl_ms=np.asarray(curves["spl_ms"][0]),
+        bthr=np.asarray(curves["bthr"][0]),
+        thr_lr=np.asarray(curves["thr_lr"][0]),
+        thr_ms=np.asarray(curves["thr_ms"][0]),
+        mld=np.asarray(curves["mld"]),
+        smr_lr=np.asarray(curves["smr_lr"][0]),
+        smr_ms=np.asarray(curves["smr_ms"][0]),
+        lrms=np.asarray(lrms[0]),
+        smr=np.asarray(smr[0]),
+        bits=np.asarray(bits),
+        sf=np.asarray(sf[0]),
+        overall=np.asarray(overall[0]),
+        budget=np.asarray(budget),
+    )
+    return out
+
+
 def encode_stats_for_file(path: str, rate_mode: str = "reservoir",
                           cfg=None) -> EncodeStats:
     """Convenience: WAV path -> EncodeStats (used by the CLI `stats`

@@ -9,8 +9,13 @@ same bytes whichever packer tier ends up used.
 import numpy as np
 import pytest
 
-from pactpu.codec.engine import PACK_WORDS, Engine
+from pactpu.codec.engine import Engine
 from pactpu.codec.stream import StreamingEncoder
+
+# The shipped PACK_WORDS (256) is sized so real corpus spikes do NOT
+# overflow (that is the point — overflow costs a re-finalize round trip);
+# these tests pin the narrow width down so the wide tier is exercised.
+NARROW = 64
 
 
 @pytest.fixture(scope="module")
@@ -27,21 +32,26 @@ def bursty_pcm() -> np.ndarray:
 
 def test_overflow_triggers_wide_tier(bursty_pcm):
     eng = Engine(rate_mode="reservoir", device_pack=True)
+    eng.pack_words = NARROW
     outs, b, _, _, chunk = eng._encode_chunks(bursty_pcm)
     nbits = np.concatenate([np.asarray(o["nbits"]) for o in outs])[:2 * b]
-    assert nbits.max() > 32 * PACK_WORDS, (
+    assert nbits.max() > 32 * NARROW, (
         "fixture no longer overflows the narrow packer")
 
 
 def test_device_pack_equals_host_pack_on_overflow(bursty_pcm):
     dev = Engine(rate_mode="reservoir", device_pack=True)
+    dev.pack_words = NARROW
     host = Engine(rate_mode="reservoir", device_pack=False)
     assert dev.encode(bursty_pcm) == host.encode(bursty_pcm)
 
 
 def test_streaming_matches_batch_on_overflow(bursty_pcm):
-    batch = Engine(rate_mode="reservoir").encode(bursty_pcm)
+    batch_eng = Engine(rate_mode="reservoir")
+    batch_eng.pack_words = NARROW
+    batch = batch_eng.encode(bursty_pcm)
     enc = StreamingEncoder(rate_mode="reservoir")
+    enc._eng.pack_words = NARROW
     parts = [enc.header(bursty_pcm.shape[0])]
     for i in range(0, bursty_pcm.shape[0], 3000):
         parts.append(enc.push(bursty_pcm[i:i + 3000]))
@@ -61,3 +71,13 @@ def test_roundtrip_on_overflow(bursty_pcm):
     d = pcm[8 * 1024:n].astype(np.float64)
     snr = 10 * np.log10(np.sum(a ** 2) / max(np.sum((a - d) ** 2), 1e-9))
     assert snr > 1.0
+
+
+def test_dense_download_overflow_falls_back(bursty_pcm, monkeypatch):
+    """When the chunk-total dense budget is exceeded, the engine must fall
+    back to the padded-rows download and still produce identical bytes."""
+    import pactpu.codec.engine as E
+    monkeypatch.setattr(E, "PACK_DENSE_WORDS", 4)
+    dense_starved = Engine(rate_mode="reservoir", device_pack=True)
+    host = Engine(rate_mode="reservoir", device_pack=False)
+    assert dense_starved.encode(bursty_pcm) == host.encode(bursty_pcm)

@@ -1,0 +1,136 @@
+"""Single-chip performance breakdown (VERDICT round-1 item 5).
+
+Runs the full encode+decode pipeline over real corpus inputs with the
+Engine's StageTimer enabled, measures the raw host<->device link bandwidth
+with calibration transfers, and writes PERF.md: per-stage wall clock, the
+implied tunnel bound, and where the remaining gap lives.
+
+Stages tagged `-dispatch` measure async enqueue only; device execution
+time is absorbed by whichever later stage first blocks (downloads).
+
+Usage: python tools/perf_breakdown.py [--out PERF.md] [--reps 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def measure_link(sizes_mb=(1, 4, 8)) -> dict:
+    """Calibrate host->device and device->host bandwidth (MB/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    up, down = [], []
+    for mb in sizes_mb:
+        host = np.zeros(mb * (1 << 20), np.uint8)
+        # warm path
+        jax.block_until_ready(jnp.asarray(host[: 1 << 16]))
+        t0 = time.perf_counter()
+        dev = jax.block_until_ready(jnp.asarray(host))
+        up.append(mb / (time.perf_counter() - t0))
+        t0 = time.perf_counter()
+        np.asarray(dev)
+        down.append(mb / (time.perf_counter() - t0))
+    return dict(upload_mb_s=round(max(up), 1),
+                download_mb_s=round(max(down), 1))
+
+
+def run(reps: int, inputs: list) -> dict:
+    from pactpu.codec.engine import Engine
+    from pactpu.utils.metrics import StageTimer
+
+    eng = Engine(rate_mode="reservoir")
+    # warmup / compile
+    for pcm in inputs:
+        eng.decode(eng.encode(pcm))
+
+    eng.timer = StageTimer()
+    half = eng.cfg.n_mdct_lines
+    total_blocks = 0
+    payload_bytes = 0
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        for pcm in inputs:
+            stream = eng.encode(pcm)
+            eng.decode(stream)
+            total_blocks += (-(-pcm.shape[0] // half) + 1)
+            payload_bytes += len(stream)
+    wall = time.perf_counter() - t0
+    return dict(report=eng.timer.report(), wall_s=round(wall, 3),
+                blocks=total_blocks, blocks_per_s=round(total_blocks / wall, 1),
+                payload_bytes=payload_bytes)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="PERF.md")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    from pactpu.codec.wav import read_wav
+    inputs = []
+    for name in ("castanets.wav", "rock_test2.wav", "speech_test2.wav"):
+        p = f"/root/reference/inputs/{name}"
+        if os.path.exists(p):
+            inputs.append(read_wav(p).samples)
+    if not inputs:
+        rng = np.random.default_rng(0)
+        inputs = [np.clip(rng.standard_normal((44100 * 10, 2)) * 8000,
+                          -32767, 32767).astype(np.int16)]
+
+    import jax
+    backend = jax.devices()[0].platform
+    link = measure_link()
+    res = run(args.reps, inputs)
+
+    rep = res["report"]
+    total_staged = sum(v["total_s"] for v in rep.values())
+    lines = [
+        "# PERF — single-chip stage breakdown",
+        "",
+        f"Backend: **{backend}**; workload: encode+decode of "
+        f"{res['blocks']} blocks (3 corpus files x {args.reps} reps), "
+        "reservoir mode, device packing.",
+        "",
+        f"**Throughput: {res['blocks_per_s']} blocks/s** "
+        f"(wall {res['wall_s']} s; staged time {total_staged:.2f} s; "
+        "the remainder is un-staged host work: header/framing, python "
+        "glue).",
+        "",
+        f"Link calibration: upload {link['upload_mb_s']} MB/s, "
+        f"download {link['download_mb_s']} MB/s.",
+        "",
+        "| stage | total s | calls | share |",
+        "|---|---|---|---|",
+    ]
+    for k in sorted(rep, key=lambda k: -rep[k]["total_s"]):
+        v = rep[k]
+        lines.append(f"| {k} | {v['total_s']:.3f} | {v['calls']} | "
+                     f"{100 * v['total_s'] / res['wall_s']:.0f}% |")
+    lines += [
+        "",
+        "Dispatch stages measure async enqueue only; device compute is "
+        "absorbed by the first blocking stage after it (downloads/"
+        "payload assembly).",
+    ]
+    text = "\n".join(lines) + "\n"
+    with open(args.out, "w") as f:
+        f.write(text)
+    print(text)
+    print(json.dumps(dict(link=link, **{k: v for k, v in res.items()
+                                        if k != "report"})))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())
