@@ -521,6 +521,36 @@ def _chunk_decode_fn(cfg: CodecConfig, precision: str = "f32"):
     return jax.jit(run)
 
 
+class DebugCheckError(RuntimeError):
+    """Raised by Engine(debug_checks=True) when a device pass produces
+    non-finite psychoacoustics or an out-of-range allocation (the build's
+    jax.debug_nans analogue, SURVEY.md §5 — explicit finite checks work on
+    TPU where debug_nans would disable compiler optimizations)."""
+
+
+def _debug_check_encode(analyses, outs, max_mant: int, chunk: int) -> None:
+    """Validate device encode outputs chunk by chunk; raises
+    DebugCheckError naming the first offending chunk/block."""
+    for k, a in enumerate(analyses):
+        smr = np.asarray(a["smr"])
+        if not np.isfinite(smr).all():
+            blk = int(np.argwhere(~np.isfinite(smr))[0][0])
+            raise DebugCheckError(
+                f"non-finite SMR in chunk {k}, block {k * chunk + blk}")
+    for k, o in enumerate(outs):
+        bits = np.asarray(o["bits"])
+        if bits.min(initial=0) < 0 or bits.max(initial=0) > max_mant:
+            blk = int(np.argwhere((bits < 0) | (bits > max_mant))[0][0])
+            raise DebugCheckError(
+                f"allocation out of [0, {max_mant}] in chunk {k}, "
+                f"block {k * chunk + blk}")
+        if (bits == 1).any():
+            blk = int(np.argwhere(bits == 1)[0][0])
+            raise DebugCheckError(
+                f"1-bit allocation escaped the refund (Q12) in chunk {k}, "
+                f"block {k * chunk + blk}")
+
+
 def _pad_blocks(b: int, cap: int = DEFAULT_CHUNK_BLOCKS) -> int:
     """Bucket the block count so jit specializations are reused: next power
     of two (min 16), capped at the streaming chunk size."""
@@ -609,7 +639,7 @@ class Engine:
                  rate_mode: str = "reservoir", fmt: str = "wak",
                  chunk_blocks: Optional[int] = None,
                  device_pack: Optional[bool] = None,
-                 precision: str = "f32"):
+                 precision: str = "f32", debug_checks: bool = False):
         self.cfg = cfg or CodecConfig()
         if rate_mode not in ("cbr", "reservoir", "exact"):
             raise ValueError(f"unknown rate mode {rate_mode!r}")
@@ -626,6 +656,10 @@ class Engine:
         self.rate_mode = rate_mode
         self.fmt = fmt
         self.precision = precision
+        # debug_nans analogue (SURVEY.md §5): validate every encode pass
+        # (finite SMRs, in-range allocations) at the cost of a blocking
+        # fetch per chunk — a development switch, off on the hot path
+        self.debug_checks = debug_checks
         self.chunk_blocks = chunk_blocks
         if device_pack is None:
             device_pack = not os.environ.get("PACTPU_NO_DEVICE_PACK")
@@ -778,6 +812,9 @@ class Engine:
         with self._stage("encode/finalize-dispatch"):
             outs = [finalize(a, ex, consts)
                     for a, ex in zip(analyses, extras_chunks)]
+        if self.debug_checks:
+            max_mant = min(1 << cfg.n_mant_size_bits, cfg.max_mant_bits)
+            _debug_check_encode(analyses, outs, max_mant, chunk)
         self._extras_dev = extras_chunks
         return outs, b, analyses, extras_chunks, chunk
 
