@@ -5,10 +5,15 @@ back to WAV, report elapsed time and Huffman bits saved.
 Usage:
   python -m pactpu encode  IN.wav  OUT.wak  [--rate cbr|reservoir]
                                             [--fmt wak|pac] [--bps 2.27]
+                                            [--peak-mode ref|para|weighted]
   python -m pactpu decode  IN.wak  OUT.wav  [--fmt wak|pac]
   python -m pactpu roundtrip IN.wav [--outdir DIR]   # reference-style
   python -m pactpu stats  IN.wav                     # encode statistics
+  python -m pactpu debug  IN.wav [--block 1] [--out blk.npz]
   python -m pactpu bench  IN.wav  [--reps 3]
+
+Mono WAVs encode as single-channel streams (header nChannels=1); the
+channel count and sample rate always follow the input file.
 """
 
 from __future__ import annotations
@@ -26,6 +31,8 @@ def _engine(args):
     cfg = CodecConfig()
     if getattr(args, "bps", None):
         cfg = dataclasses.replace(cfg, target_bits_per_sample=args.bps)
+    if getattr(args, "peak_mode", None):
+        cfg = dataclasses.replace(cfg, peak_mode=args.peak_mode)
     return Engine(cfg=cfg, rate_mode=getattr(args, "rate", "reservoir"),
                   fmt=getattr(args, "fmt", "wak"))
 
@@ -41,7 +48,8 @@ def cmd_encode(args) -> int:
     from pactpu.codec.wav import read_wav
     eng = _engine(args)
     wav = read_wav(args.input)
-    cfg = dataclasses.replace(eng.cfg, sample_rate=wav.sample_rate)
+    cfg = dataclasses.replace(eng.cfg, sample_rate=wav.sample_rate,
+                              n_channels=wav.samples.shape[1])
     eng.cfg = cfg
     t0 = time.time()
     stream = eng.encode(wav.samples)
@@ -77,7 +85,8 @@ def cmd_roundtrip(args) -> int:
     outdir = args.outdir or "."
     os.makedirs(outdir, exist_ok=True)
     wav = read_wav(args.input)
-    eng.cfg = dataclasses.replace(eng.cfg, sample_rate=wav.sample_rate)
+    eng.cfg = dataclasses.replace(eng.cfg, sample_rate=wav.sample_rate,
+                                  n_channels=wav.samples.shape[1])
 
     t0 = time.time()
     stream = eng.encode(wav.samples)
@@ -163,6 +172,9 @@ def main(argv=None) -> int:
     enc.add_argument("--fmt", choices=("wak", "pac"), default="wak")
     enc.add_argument("--bps", type=float, default=None,
                      help="target bits per sample (default 2.27)")
+    enc.add_argument("--peak-mode", choices=("ref", "para", "weighted"),
+                     default=None, dest="peak_mode",
+                     help="psych-model peak picker (aidan variants)")
     enc.set_defaults(fn=cmd_encode)
 
     dec = sub.add_parser("decode")

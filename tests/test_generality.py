@@ -134,3 +134,19 @@ def test_alt_rate_stereo_roundtrip():
     assert out.shape == pcm.shape
     fs2, out2 = rc.decode_file(blob)
     assert np.abs(out.astype(np.int64) - out2.astype(np.int64)).max() <= 1
+
+
+def test_cli_mono_roundtrip(tmp_path):
+    """The CLI follows the input WAV's channel count (mono nChannels=1)."""
+    from pactpu.codec import cli
+    from pactpu.codec.wav import read_wav, write_wav
+    pcm = _tone_mix(2 * 44100, 44100, chans=1)
+    write_wav(str(tmp_path / "m.wav"), 44100, pcm)
+    assert cli.main(["roundtrip", str(tmp_path / "m.wav"),
+                     "--outdir", str(tmp_path)]) == 0
+    cfg2, num_samples, _ = rc.read_header(
+        (tmp_path / "m.wak").read_bytes())
+    assert cfg2.n_channels == 1 and num_samples == pcm.shape[0]
+    out = read_wav(str(tmp_path / "m_decoded.wav"))
+    assert out.samples.shape == pcm.shape
+    assert _snr(pcm[:, 0], out.samples[:, 0]) > 15.0
