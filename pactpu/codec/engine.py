@@ -868,7 +868,30 @@ class Engine:
             return header + payload
 
         outs, b, analyses, extras_chunks, chunk = self._encode_chunks(pcm)
-        parts = [header]
+        return header + self._finish_encode(outs, analyses, extras_chunks,
+                                            b, chunk)
+
+    def encode_many(self, pcms) -> list:
+        """Throughput-oriented batch encode: every file's device pipeline
+        is dispatched (async) before any payload download blocks, so the
+        tunnel's ~25 ms/fetch round trips and transfers overlap the other
+        files' device compute.  This is the production serving path for
+        many-file workloads; device memory holds all staged files, so
+        batch accordingly (a 512-block chunk holds ~6 MB of analysis).
+        Observability properties reflect the LAST file of the batch."""
+        if self.fmt == "pac":
+            return [self.encode(p) for p in pcms]
+        staged = []
+        for pcm in pcms:
+            header, _ = rc.write_header(self.cfg, pcm.shape[0])
+            staged.append((header, self._encode_chunks(pcm)))
+        return [header + self._finish_encode(outs, analyses, extras, b, ch)
+                for header, (outs, b, analyses, extras, ch) in staged]
+
+    def _finish_encode(self, outs, analyses, extras_chunks, b: int,
+                       chunk: int) -> bytes:
+        """Blocking half of a wak encode: payload download + assembly."""
+        parts = []
         if outs and "words" in outs[0]:
             parts.append(self._payload_device_packed(
                 outs, analyses, extras_chunks, b, chunk))
@@ -1012,11 +1035,23 @@ class Engine:
     # -- decode ----------------------------------------------------------
 
     def decode(self, data: bytes) -> tuple[int, np.ndarray]:
-        """Full stream -> (sample_rate, int16 [n, 2]), reproducing the
+        """Full stream -> (sample_rate, int16 [n, C]), reproducing the
         reference driver's first-block skip and final overlap-add flush
         (reference codec/pacfile.py:484-487, 171-178), trimmed to the
         header's numSamples (the length the reference's decoded WAV
         declares, pacfile.py:231-271 incl. the Q6 padding quirk)."""
+        return self._decode_finish(*self._decode_dispatch(data))
+
+    def decode_many(self, datas) -> list:
+        """Throughput-oriented batch decode: parse/upload/dispatch every
+        stream before any PCM download blocks (see encode_many)."""
+        staged = [self._decode_dispatch(d) for d in datas]
+        return [self._decode_finish(*s) for s in staged]
+
+    def _decode_dispatch(self, data: bytes):
+        """Async half of decode: parse, repack, upload, dispatch; returns
+        the staged state for `_decode_finish` without blocking on device
+        results."""
         cfg, num_samples, off = rc.read_header(data)
         half = cfg.n_mdct_lines
         c = cfg.n_channels
@@ -1085,6 +1120,10 @@ class Engine:
             # both and keeps the download a SINGLE fetch
             tail = q_ops.float_to_pcm16(carry)[None]
             ola_dev = jnp.concatenate(pcm_chunks + [tail])[:b + 1]
+        return cfg, num_samples, b, c, ola_dev
+
+    def _decode_finish(self, cfg, num_samples, b, c, ola_dev):
+        """Blocking half of decode: the single PCM fetch + reshaping."""
         with self._stage("decode/download"):
             ola = np.asarray(ola_dev)
         # reference driver: drop block 0 (MDCT delay), keep the flush row

@@ -85,3 +85,27 @@ def test_cbr_mode_roundtrip():
     fs, out = eng.decode(stream)
     assert fs == 44100
     assert _snr(pcm, out) > 0.0  # decodes into correlated audio
+
+
+def test_encode_many_decode_many_match_serial():
+    """The batch throughput APIs produce byte/sample-identical results to
+    serial encode/decode calls."""
+    import numpy as np
+    from pactpu.codec.engine import Engine
+    rng = np.random.default_rng(8)
+    t = np.arange(3 * 1024) / 44100.0
+    files = []
+    for k in range(3):
+        sig = (0.4 * np.sin(2 * np.pi * (300 + 200 * k) * t)
+               + 0.03 * rng.standard_normal(t.shape[0]))
+        files.append(np.clip(np.stack([sig, 0.7 * sig], 1) * 32767,
+                             -32768, 32767).astype(np.int16))
+    eng = Engine(rate_mode="reservoir")
+    serial = [eng.encode(p) for p in files]
+    batch = eng.encode_many(files)
+    assert batch == serial
+    dec_serial = [eng.decode(s) for s in serial]
+    dec_batch = eng.decode_many(batch)
+    for (fs_a, a), (fs_b, bb) in zip(dec_serial, dec_batch):
+        assert fs_a == fs_b
+        np.testing.assert_array_equal(a, bb)
