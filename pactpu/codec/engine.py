@@ -220,9 +220,16 @@ def finalize_body(cfg: CodecConfig, two_channel_chain: bool = True,
         bits_ch, left = [], None
         for ch in range(c):
             total = (jnp.asarray(budget, dt) + extra).astype(jnp.int32)
-            bits_c, left = ba_ops.water_fill(
-                total, max_mant, n_lines, smr[:, ch], lrms,
-                cfg.ms_stop_threshold_db, cfg.lr_stop_threshold_db)
+            if cfg.alloc_mode == "closed_form":
+                # kai's allocator (baselines/kai/bitalloc.py:84-134): no
+                # LRMS stop thresholds; leftover = budget - spent
+                bits_c = ba_ops.alloc_closed_form(
+                    total, max_mant, n_lines, smr[:, ch])
+                left = total - jnp.sum(bits_c * n_lines[None], axis=1)
+            else:
+                bits_c, left = ba_ops.water_fill(
+                    total, max_mant, n_lines, smr[:, ch], lrms,
+                    cfg.ms_stop_threshold_db, cfg.lr_stop_threshold_db)
             bits_ch.append(bits_c)
             if two_channel_chain:
                 extra = left.astype(dt)
@@ -652,6 +659,11 @@ class Engine:
         if self.cfg.n_channels == 1 and rate_mode == "exact":
             raise ValueError("exact mode reproduces the reference's stereo "
                              "trajectory; mono has no golden reference")
+        if self.cfg.alloc_mode not in ("water_fill", "closed_form"):
+            raise ValueError(f"unknown alloc mode {self.cfg.alloc_mode!r}")
+        if self.cfg.alloc_mode != "water_fill" and rate_mode == "exact":
+            raise ValueError("exact mode reproduces the reference's "
+                             "water-filling trajectory")
         _dtype(precision)  # validate
         self.rate_mode = rate_mode
         self.fmt = fmt

@@ -111,6 +111,13 @@ class CodecConfig:
     # (reference baselines/aidan/psychoac.py:105-189).
     peak_mode: str = "ref"
 
+    # Mantissa-bit allocator: "water_fill" = the reference's greedy
+    # NMR-residual loop (codec/bitalloc.py:129-184); "closed_form" = kai's
+    # R = P/N + (SMR-avg)/6 allocator (baselines/kai/bitalloc.py:84-134) —
+    # the TPU-friendliest mode: one vectorized formula + a short take-back
+    # instead of ~2000 sequential grants.
+    alloc_mode: str = "water_fill"
+
     # Bit-reservoir trickle: fraction of the deposit withdrawn per block in
     # compat mode (reference codec/Huffman.py:363-371 withdraws 1/100).
     # The rate-control *policy* (cbr / reservoir / exact) is the Engine's

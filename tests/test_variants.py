@@ -217,3 +217,45 @@ def test_calc_smrs_peak_mode_plumbs(blocks, mode):
                                       LAYOUT, peak_mode=mode))
     assert smr.shape == (blocks.shape[0], LAYOUT.n_bands)
     assert np.isfinite(smr).all()
+
+
+def test_engine_closed_form_alloc_mode():
+    """kai's allocator as an engine mode: the stream roundtrips (engine and
+    oracle decodes agree — the format carries the allocation, so decode is
+    allocator-agnostic) and genuinely differs from the water-fill stream."""
+    from pactpu.codec.engine import Engine
+    from pactpu.compat import refcodec as rc
+
+    rng = np.random.default_rng(12)
+    t = np.arange(4 * 1024) / 44100.0
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t)
+           + 0.1 * np.sin(2 * np.pi * 3200 * t)
+           + 0.02 * rng.standard_normal(t.shape[0]))
+    pcm = np.clip(np.stack([sig, 0.6 * sig], 1) * 32767,
+                  -32768, 32767).astype(np.int16)
+
+    wf = Engine(CodecConfig(), rate_mode="reservoir")
+    cf = Engine(CodecConfig(alloc_mode="closed_form"),
+                rate_mode="reservoir")
+    blob_wf, blob_cf = wf.encode(pcm), cf.encode(pcm)
+    assert blob_cf != blob_wf
+    fs, out_cf = cf.decode(blob_cf)
+    fs2, out_oracle = rc.decode_file(blob_cf)
+    assert out_cf.shape == out_oracle.shape
+    assert np.abs(out_cf.astype(np.int64)
+                  - out_oracle.astype(np.int64)).max() <= 1
+    # quality stays in the same ballpark as water-fill on tonal content
+    def snr(a, b):
+        a = a.astype(np.float64); b = b.astype(np.float64)
+        return 10 * np.log10(np.sum(a * a)
+                             / max(np.sum((a - b) ** 2), 1e-30))
+    _, out_wf = wf.decode(blob_wf)
+    n = pcm.shape[0]   # Q6: multiple-of-1024 inputs decode with padding
+    s_wf = snr(pcm[:, 0], out_wf[:n, 0])
+    s_cf = snr(pcm[:, 0], out_cf[:n, 0])
+    assert s_cf > s_wf - 6.0, (s_cf, s_wf)
+
+    with pytest.raises(ValueError):
+        Engine(CodecConfig(alloc_mode="closed_form"), rate_mode="exact")
+    with pytest.raises(ValueError):
+        Engine(CodecConfig(alloc_mode="bogus"))
