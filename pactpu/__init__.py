@@ -54,5 +54,23 @@ _enable_compile_cache()
 
 from pactpu.utils.config import CodecConfig, default_config  # noqa: E402
 
-__all__ = ["CodecConfig", "default_config"]
-__version__ = "0.1.0"
+__all__ = ["CodecConfig", "default_config", "Engine",
+           "StreamingEncoder", "StreamingDecoder"]
+__version__ = "0.2.0"
+
+_LAZY = {
+    "Engine": ("pactpu.codec.engine", "Engine"),
+    "StreamingEncoder": ("pactpu.codec.stream", "StreamingEncoder"),
+    "StreamingDecoder": ("pactpu.codec.stream", "StreamingDecoder"),
+}
+
+
+def __getattr__(name: str):
+    """Lazy top-level exports (`pactpu.Engine` etc.) — the engine pulls in
+    the full kernel stack, so plain `import pactpu` stays light."""
+    try:
+        mod, attr = _LAZY[name]
+    except KeyError:
+        raise AttributeError(name) from None
+    import importlib
+    return getattr(importlib.import_module(mod), attr)

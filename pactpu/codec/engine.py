@@ -646,7 +646,8 @@ class Engine:
                  rate_mode: str = "reservoir", fmt: str = "wak",
                  chunk_blocks: Optional[int] = None,
                  device_pack: Optional[bool] = None,
-                 precision: str = "f32", debug_checks: bool = False):
+                 precision: str = "f32", debug_checks: bool = False,
+                 tables=None):
         self.cfg = cfg or CodecConfig()
         if rate_mode not in ("cbr", "reservoir", "exact"):
             raise ValueError(f"unknown rate mode {rate_mode!r}")
@@ -672,6 +673,24 @@ class Engine:
         # (finite SMRs, in-range allocations) at the cost of a blocking
         # fetch per chunk — a development switch, off on the hot path
         self.debug_checks = debug_checks
+        # custom Huffman table set — the analogue of retraining the
+        # reference's huffmanTables.pickle (codec/Huffman.py:197-203):
+        # a path to an npz in the huffman_tables.npz layout (e.g. from
+        # pactpu.ops.huffman_train.save_tables) or the 4-tuple of arrays
+        # (lengths, codes, escape_lengths, escape_codes); None = shipped
+        if isinstance(tables, str):
+            z = np.load(tables)
+            tables = (z["lengths"], z["codes"], z["escape_lengths"],
+                      z["escape_codes"])
+        self.tables = None if tables is None else tuple(
+            np.ascontiguousarray(t, np.int32) for t in tables)
+        if self.tables is not None:
+            # the packed-length scheme carries 5-bit code lengths — refuse
+            # tables the packer cannot represent (ADVICE round-1)
+            if (int(self.tables[0].max(initial=0)) > 31
+                    or int(self.tables[2].max(initial=0)) > 31):
+                raise ValueError("Huffman code lengths > 31 bits cannot "
+                                 "be packed")
         self.chunk_blocks = chunk_blocks
         if device_pack is None:
             device_pack = not os.environ.get("PACTPU_NO_DEVICE_PACK")
@@ -700,8 +719,10 @@ class Engine:
                 "precision='f64' requires jax x64 (enable with "
                 "jax.experimental.enable_x64() or JAX_ENABLE_X64=1)")
         if self._consts_dev is None:
-            self._consts_dev = jax.device_put(
-                engine_consts_np(self.cfg, self.precision))
+            base = engine_consts_np(self.cfg, self.precision)
+            if self.tables is not None:
+                base = dict(base, tabs=self.tables)
+            self._consts_dev = jax.device_put(base)
         return self._consts_dev
 
     def _chunk(self, b: int) -> int:
@@ -1073,7 +1094,7 @@ class Engine:
                 data[off:], np.asarray(cfg.band_layout.n_lines, np.int32),
                 cfg.n_scale_bits, cfg.n_mant_size_bits,
                 cfg.n_table_id_bits if huff else 0, read_lrms=huff,
-                n_channels=c)
+                n_channels=c, tables=self.tables)
         b = parsed["n_cblocks"] // c
         chunk = self._chunk(b)
         b_pad = -(-b // chunk) * chunk

@@ -17,7 +17,7 @@ import numpy as np
 
 _lock = threading.Lock()
 _lib = None
-_tables_ready = False
+_tables_ready = None   # content fingerprint of the uploaded table set
 
 _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))), "csrc", "wakbits.cc")
@@ -94,13 +94,25 @@ def _i32(a: np.ndarray):
     return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
 
-def init_tables() -> None:
-    """Upload the Huffman decode trees (idempotent)."""
+def init_tables(tables=None) -> None:
+    """Upload the Huffman decode trees.
+
+    tables: optional (lengths[T, S], codes[T, S], escape_lengths[T],
+    escape_codes[T]) arrays — e.g. a freshly trained set from
+    pactpu.ops.huffman_train — replacing the shipped tables for subsequent
+    unpack_file calls.  None = the shipped set.  Re-uploads only when the
+    table set changes (cheap content fingerprint), so interleaving engines
+    with different tables is correct, just not free."""
     global _tables_ready
-    if _tables_ready:
+    if tables is None:
+        from pactpu.ops.huffman import load_tables
+        tables = load_tables()
+    lengths, codes, esc_len, esc_codes = tables
+    key = (lengths.shape, int(np.asarray(lengths, np.int64).sum()),
+           int(np.asarray(codes, np.int64).sum()),
+           int(np.asarray(esc_codes, np.int64).sum()))
+    if _tables_ready == key:
         return
-    from pactpu.ops.huffman import load_tables
-    lengths, codes, esc_len, esc_codes = load_tables()
     lib = _load()
     le = np.ascontiguousarray(lengths, np.uint8)
     co = np.ascontiguousarray(codes, np.uint32)
@@ -111,8 +123,8 @@ def init_tables() -> None:
         co.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         el.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ec.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-        lengths.shape[0], lengths.shape[1])
-    _tables_ready = True
+        le.shape[0], le.shape[1])
+    _tables_ready = key
 
 
 def pack_file(n_lines: np.ndarray, n_scale_bits: int, n_mant_size_bits: int,
@@ -216,7 +228,7 @@ def repack_codes(mant: np.ndarray, ba: np.ndarray, n_lines: np.ndarray,
 
 def unpack_file(payload: bytes, n_lines: np.ndarray, n_scale_bits: int,
                 n_mant_size_bits: int, n_table_id_bits: int,
-                read_lrms: bool = True, n_channels: int = 2):
+                read_lrms: bool = True, n_channels: int = 2, tables=None):
     """Parse every channel-block payload in `payload` (past the header).
 
     Returns dict of arrays keyed overall/table_id/ba/sf/mant [R, ...] and
@@ -224,7 +236,7 @@ def unpack_file(payload: bytes, n_lines: np.ndarray, n_scale_bits: int,
     """
     lib = _load()
     if n_table_id_bits > 0:
-        init_tables()
+        init_tables(tables)
     data = np.frombuffer(payload, np.uint8)
     dp = data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     r = int(lib.wak_count_blocks(dp, len(data)))

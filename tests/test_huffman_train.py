@@ -136,3 +136,79 @@ def test_psummed_histogram_feeds_trainer():
     trainer.count_histogram(hist)
     lengths, codes, esc_len, esc_code = trainer.build()
     assert lengths[5] > 0 and lengths[6] >= lengths[5]
+
+
+def test_engine_with_freshly_trained_tables_roundtrips():
+    """The full retrain story (the reference's pickle rewrite,
+    Huffman.py:197-203): train a table set from symbol histograms, build an
+    Engine(tables=...) with it, and the stream it encodes decodes correctly
+    — including after interleaving decodes with a shipped-tables engine
+    (the native decode trees re-initialize on table-set change)."""
+    import numpy as np
+    from pactpu.codec.engine import Engine
+    from pactpu.utils.config import CodecConfig
+
+    import jax
+    from pactpu.codec import engine as E
+
+    rng = np.random.default_rng(21)
+    t = np.arange(4 * 1024 + 100) / 44100.0
+    sig = (0.5 * np.sin(2 * np.pi * 520 * t)
+           + 0.05 * rng.standard_normal(t.shape[0]))
+    pcm = np.clip(np.stack([sig, 0.7 * sig], 1) * 32767,
+                  -32768, 32767).astype(np.int16)
+
+    # the real retraining flow (reference codec.py:121-122 countFreq hook):
+    # histogram the encoder's own unsigned mantissas, build tables from it
+    cfg = CodecConfig()
+    body = E.encode_body(cfg, return_syms=True)
+    consts = jax.device_put(E.engine_consts_np(cfg))
+    frames = E.frame_blocks_np(pcm, cfg.n_mdct_lines, 16)
+    out = body(jnp.asarray(frames), jnp.zeros(16, jnp.float32), consts)
+    syms = np.asarray(out["syms"]).ravel()
+    # unsigned mantissas are at most 15 bits (16 incl. the stripped sign)
+    freqs = np.zeros(1 << 15, np.int64)
+    np.add.at(freqs, syms[syms >= 0], 1)
+    tabs = ht.train_tables({tid: freqs for tid in range(1, 11)})
+
+    # cbr: the allocation is table-independent (no savings feedback), so
+    # the two table sets must code the SAME quantized mantissas and the
+    # decodes must agree exactly
+    shipped = Engine(CodecConfig(), rate_mode="cbr")
+    custom = Engine(CodecConfig(), rate_mode="cbr", tables=tabs)
+    blob_shipped = shipped.encode(pcm)
+    blob_custom = custom.encode(pcm)
+    assert blob_custom != blob_shipped        # new tables really in use
+
+    fs, out_custom = custom.decode(blob_custom)
+    fs2, out_shipped = shipped.decode(blob_shipped)   # re-init back
+    fs3, out_custom2 = custom.decode(blob_custom)     # and forth
+    np.testing.assert_array_equal(out_custom, out_custom2)
+    np.testing.assert_array_equal(out_custom, out_shipped)
+
+    # reservoir mode (savings feed allocation): content-trained tables must
+    # hold quality close to the shipped genre tables on the same input
+    def _snr(eng):
+        fs_, out = eng.decode(eng.encode(pcm))
+        a = pcm.astype(np.float64).ravel()
+        d = out[:pcm.shape[0]].astype(np.float64).ravel()
+        return 10 * np.log10(np.sum(a * a)
+                             / max(np.sum((a - d) ** 2), 1e-30))
+    snr_custom = _snr(Engine(CodecConfig(), rate_mode="reservoir",
+                             tables=tabs))
+    snr_shipped = _snr(Engine(CodecConfig(), rate_mode="reservoir"))
+    assert snr_custom > snr_shipped - 3.0, (snr_custom, snr_shipped)
+
+
+def test_engine_rejects_unpackable_tables():
+    import numpy as np
+    import pytest
+    from pactpu.codec.engine import Engine
+
+    lengths = np.zeros((10, 16), np.int32)
+    lengths[0, 1] = 33                        # > 31-bit code
+    codes = np.zeros((10, 16), np.int32)
+    esc_len = np.full(10, 7, np.int32)
+    esc_code = np.zeros(10, np.int32)
+    with pytest.raises(ValueError, match="31"):
+        Engine(tables=(lengths, codes, esc_len, esc_code))
