@@ -70,13 +70,11 @@ class StreamingEncoder:
         self._eng = Engine(cfg=cfg, rate_mode=rate_mode, fmt="wak",
                            chunk_blocks=chunk_blocks)
         self.cfg = self._eng.cfg
-        if self.cfg.n_channels != 2:
-            raise ValueError("streaming encode is stereo-only; use "
-                             "Engine directly for mono")
         half = self.cfg.n_mdct_lines
+        c = self.cfg.n_channels
         # the encoder's entire sequential state:
-        self._tail = np.zeros((2, half), np.int16)   # priorBlock
-        self._rem = np.zeros((0, 2), np.int16)       # sub-block remainder
+        self._tail = np.zeros((c, half), np.int16)   # priorBlock
+        self._rem = np.zeros((0, c), np.int16)       # sub-block remainder
         self._deposit = 0                            # Huffman bitDeposit
         self._extra = 0                              # carried extraBits
         self._n_samples = 0
@@ -90,7 +88,7 @@ class StreamingEncoder:
         return data
 
     def push(self, pcm: np.ndarray) -> bytes:
-        """Feed int16 PCM [n, 2]; returns payload bytes for every block that
+        """Feed int16 PCM [n, C]; returns payload bytes for every block that
         became complete (possibly b'')."""
         if self._flushed:
             raise RuntimeError("push after flush")
@@ -102,7 +100,8 @@ class StreamingEncoder:
         if b == 0:
             self._rem = buf
             return b""
-        blocks = buf[:b * half].T.reshape(2, b, half).transpose(1, 0, 2)
+        c = self.cfg.n_channels
+        blocks = buf[:b * half].T.reshape(c, b, half).transpose(1, 0, 2)
         self._rem = buf[b * half:]
         return self._encode_blocks(np.ascontiguousarray(blocks))
 
@@ -113,13 +112,14 @@ class StreamingEncoder:
             raise RuntimeError("flush called twice")
         self._flushed = True
         half = self.cfg.n_mdct_lines
+        c = self.cfg.n_channels
         blocks = []
         if self._rem.shape[0]:
-            part = np.zeros((1, 2, half), np.int16)
+            part = np.zeros((1, c, half), np.int16)
             part[0, :, :self._rem.shape[0]] = self._rem.T
             blocks.append(part)
-            self._rem = np.zeros((0, 2), np.int16)
-        blocks.append(np.zeros((1, 2, half), np.int16))  # flush block
+            self._rem = np.zeros((0, c), np.int16)
+        blocks.append(np.zeros((1, c, half), np.int16))  # flush block
         return self._encode_blocks(np.concatenate(blocks))
 
     def _encode_blocks(self, blocks: np.ndarray) -> bytes:
@@ -131,10 +131,11 @@ class StreamingEncoder:
         chunk = eng._chunk(b)
         b_pad = -(-b // chunk) * chunk
 
-        pcm_cat = np.zeros((2, (b_pad + 1) * half), np.int16)
+        c = cfg.n_channels
+        pcm_cat = np.zeros((c, (b_pad + 1) * half), np.int16)
         pcm_cat[:, :half] = self._tail
         pcm_cat[:, half:(b + 1) * half] = (
-            blocks.transpose(1, 0, 2).reshape(2, b * half))
+            blocks.transpose(1, 0, 2).reshape(c, b * half))
         dev = [jnp.asarray(np.ascontiguousarray(
                    pcm_cat[:, i * half:(i + chunk + 1) * half]))
                for i in range(0, b_pad, chunk)]
@@ -199,7 +200,8 @@ class StreamingEncoder:
         enc = cls(cfg=cfg, rate_mode=rate_mode, chunk_blocks=chunk_blocks)
         d = _state_from_bytes(state)
         enc._tail = d["tail"].astype(np.int16)
-        enc._rem = d["rem"].astype(np.int16).reshape(-1, 2)
+        enc._rem = d["rem"].astype(np.int16).reshape(
+            -1, enc.cfg.n_channels)
         (enc._deposit, enc._extra, enc._n_samples, enc._n_blocks,
          flushed) = (int(x) for x in d["scalars"])
         enc._flushed = bool(flushed)
@@ -254,16 +256,18 @@ class StreamingDecoder:
                 cfg, n_samp, off = rc.read_header(bytes(self._buf))
             except (struct.error, ValueError, IndexError):
                 return np.zeros((0, 2), np.int16)    # header incomplete
+                # (channel count unknown until the header parses)
             self._cfg = cfg
             self._num_samples = int(n_samp)
             self._eng = Engine(cfg=cfg, fmt=self._fmt,
                                chunk_blocks=self._chunk)
-            self._carry = np.zeros((2, cfg.n_mdct_lines), np.float32)
+            self._carry = np.zeros((cfg.n_channels, cfg.n_mdct_lines),
+                                   np.float32)
             del self._buf[:off]
         self._split_blocks()
         n_ready = (len(self._pending) // self._chunk) * self._chunk
         if n_ready == 0:
-            return np.zeros((0, 2), np.int16)
+            return np.zeros((0, self._cfg.n_channels), np.int16)
         payload = b"".join(self._pending[:n_ready])
         del self._pending[:n_ready]
         return self._decode_batch(payload, n_ready, allow_pad=False)
@@ -294,14 +298,14 @@ class StreamingDecoder:
         return pcm
 
     def _split_blocks(self) -> None:
-        """Move complete blocks (2 uint32-length-prefixed channel payloads,
-        reference codec/pacfile.py:314-322) from the byte buffer to the
-        pending list."""
+        """Move complete blocks (nChannels uint32-length-prefixed channel
+        payloads, reference codec/pacfile.py:314-322) from the byte buffer
+        to the pending list."""
         pos = 0
         while True:
             block_end = pos
             ok = True
-            for _ch in range(2):
+            for _ch in range(self._cfg.n_channels):
                 if block_end + 4 > len(self._buf):
                     ok = False
                     break
@@ -325,18 +329,20 @@ class StreamingDecoder:
         Engine.decode flush rule)."""
         cfg, eng = self._cfg, self._eng
         huff = self._fmt == "wak"
+        c = cfg.n_channels
         parsed = native.unpack_file(
             payload, np.asarray(cfg.band_layout.n_lines, np.int32),
             cfg.n_scale_bits, cfg.n_mant_size_bits,
-            cfg.n_table_id_bits if huff else 0, read_lrms=huff)
-        assert parsed["n_cblocks"] == 2 * b
+            cfg.n_table_id_bits if huff else 0, read_lrms=huff,
+            n_channels=c, tables=eng.tables)
+        assert parsed["n_cblocks"] == c * b
         chunk = self._chunk if not allow_pad else min(_pad_blocks(b),
                                                       self._chunk)
         b_pad = -(-b // chunk) * chunk
         assert allow_pad or b_pad == b
 
         def d2(a):
-            a = a.reshape(b, 2, *a.shape[1:])
+            a = a.reshape(b, c, *a.shape[1:])
             if b_pad > b:
                 a = np.pad(a, [(0, b_pad - b)] + [(0, 0)] * (a.ndim - 1))
             return a
@@ -371,7 +377,7 @@ class StreamingDecoder:
                 q_ops.pcm16_to_float(jnp.asarray(ola[b])), np.float32)
         skip = 1 if self._blk_idx == 0 else 0
         self._blk_idx += b
-        pcm = ola[skip:b].transpose(1, 0, 2).reshape(2, -1).T
+        pcm = ola[skip:b].transpose(1, 0, 2).reshape(c, -1).T
         return self._clip(np.ascontiguousarray(pcm))
 
     # -- checkpoint/resume -------------------------------------------------
@@ -400,7 +406,7 @@ class StreamingDecoder:
             dec._cfg = cfg
             dec._eng = Engine(cfg=cfg, fmt=fmt, chunk_blocks=chunk_blocks)
             dec._carry = d["carry"].astype(np.float32).reshape(
-                2, cfg.n_mdct_lines)
+                cfg.n_channels, cfg.n_mdct_lines)
         dec._blk_idx = int(d["scalars"][0])
         dec._flushed = bool(d["scalars"][1])
         dec._num_samples = int(d["scalars"][2])

@@ -100,3 +100,37 @@ def test_roundtrip_through_streams(pcm):
     snr = 10 * np.log10(np.sum(pcm.astype(np.float64) ** 2)
                         / max(np.sum(err ** 2), 1e-9))
     assert snr > 10.0
+
+
+def test_mono_streaming_matches_batch():
+    """Mono streams: split-invariant streaming encode equals the batch
+    engine's bytes, and the streaming decoder reproduces its decode."""
+    import numpy as np
+    from pactpu.codec.engine import Engine
+    from pactpu.codec.stream import StreamingDecoder, StreamingEncoder
+    from pactpu.utils.config import CodecConfig
+
+    rng = np.random.default_rng(31)
+    t = np.arange(3 * 1024 + 500) / 44100.0
+    sig = 0.5 * np.sin(2 * np.pi * 660 * t) \
+        + 0.03 * rng.standard_normal(t.shape[0])
+    pcm = np.clip(sig[:, None] * 32767, -32768, 32767).astype(np.int16)
+
+    cfg = CodecConfig(n_channels=1)
+    batch = Engine(cfg, rate_mode="reservoir").encode(pcm)
+
+    enc = StreamingEncoder(cfg=cfg, rate_mode="reservoir")
+    parts = [enc.header(pcm.shape[0])]
+    for i in range(0, pcm.shape[0], 700):
+        parts.append(enc.push(pcm[i:i + 700]))
+    parts.append(enc.flush())
+    assert b"".join(parts) == batch
+
+    fs, want = Engine(cfg).decode(batch)
+    dec = StreamingDecoder()
+    outs = []
+    for i in range(0, len(batch), 999):
+        outs.append(dec.push(batch[i:i + 999]))
+    outs.append(dec.flush())
+    got = np.concatenate([o for o in outs if o.size or o.shape[1] == 1])
+    np.testing.assert_array_equal(got, want)
