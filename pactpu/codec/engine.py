@@ -505,6 +505,48 @@ _WORD_BUCKETS = (32, 64, 96, 128, 192, 256, 384, 512)
 
 
 @lru_cache(maxsize=16)
+def _chunk_decode_flat_fn(cfg: CodecConfig, cap_words: int, n_words: int,
+                          precision: str = "f32"):
+    """Dense-upload chunk decoder: the mantissa words arrive as ONE flat
+    u32[cap_words] buffer per chunk (rows compacted by their actual word
+    counts, mirroring the encode-side dense download) instead of
+    [rows, n_words] bucket-padded rows — rows average ~70 words, so the
+    upload shrinks to the chunk total.  Row offsets derive from `ba` alone
+    (identically on host and device), the rows re-expand with one gather,
+    and the extract_codes kernel proceeds as in _chunk_decode_packed_fn."""
+    from pactpu.ops import pallas_ops
+    body = decode_body(cfg, precision)
+    half = cfg.n_mdct_lines
+    seg = np.asarray(cfg.band_layout.line_to_band)
+    c = cfg.n_channels
+
+    def run(ba, sf, flat, overall, lrms, carry, consts):
+        b = ba.shape[0]
+        rows = b * c
+        width = ba.astype(jnp.int32)[..., seg].reshape(rows, half)
+        ends = jnp.cumsum(width, axis=-1)
+        off = ends - width
+        counts = jnp.minimum((ends[:, -1] + 31) // 32, n_words)
+        row_end = jnp.cumsum(counts)
+        row_off = row_end - counts
+        j = jnp.arange(n_words, dtype=jnp.int32)
+        idx = row_off[:, None] + j[None, :]
+        valid = j[None, :] < counts[:, None]
+        words = jnp.where(
+            valid, flat[jnp.clip(idx, 0, cap_words - 1)], jnp.uint32(0))
+        mant = pallas_ops.extract_codes(words, off, width).reshape(
+            b, c, half)
+        td = body(ba.astype(jnp.int32), sf.astype(jnp.int32), mant,
+                  overall.astype(jnp.int32), lrms, consts)
+        first, second = td[:, :, :half], td[:, :, half:]
+        prev_second = jnp.concatenate([carry[None], second[:-1]], axis=0)
+        ola = prev_second + first
+        return q_ops.float_to_pcm16(ola), second[-1]
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=16)
 def _chunk_decode_fn(cfg: CodecConfig, precision: str = "f32"):
     """Compact-I/O chunk decoder: `(ba i8[B,2,nb], sf i8[B,2,nb],
     mant u16[B,2,half], overall i8[B,2], lrms bool[B,nb],
@@ -1120,30 +1162,55 @@ class Engine:
         packed = pallas_ops.enabled() and native.available()
         if packed:
             # fixed-width word rows instead of u16-per-line codes: ~6x
-            # less upload; the extract_codes kernel re-slices on device
+            # less upload; the extract_codes kernel re-slices on device.
+            # On top of that, rows compact into ONE flat buffer per chunk
+            # (sized by the chunk TOTAL, ~70 words/row avg) whenever they
+            # fit — mirroring the encode-side dense download.
             with self._stage("decode/repack-native"):
                 n_lines = np.asarray(cfg.band_layout.n_lines, np.int64)
-                max_bits = int((parsed["ba"] * n_lines[None, :]).sum(1).max(
-                    initial=0))
+                rowbits = (parsed["ba"] * n_lines[None, :]).sum(1)
+                max_bits = int(rowbits.max(initial=0))
                 n_words = next(
                     (w for w in _WORD_BUCKETS if w * 32 >= max_bits),
                     -(-max_bits // 32))
-                mant = d2(native.repack_codes(
+                rows_pad = native.repack_codes(
                     parsed["mant"], parsed["ba"],
-                    np.asarray(cfg.band_layout.n_lines, np.int32), n_words))
-            run = _chunk_decode_packed_fn(cfg, n_words, self.precision)
+                    np.asarray(cfg.band_layout.n_lines, np.int32), n_words)
+                counts = np.minimum((rowbits + 31) // 32, n_words)
+                rpc = chunk * c                 # rows per chunk
+                cap = rpc * PACK_DENSE_WORDS
+                col = np.arange(n_words)[None, :]
+                mant_chunks = []
+                for i in range(0, b_pad * c, rpc):
+                    cc = counts[i:i + rpc]
+                    if int(cc.sum()) > cap:
+                        mant_chunks = None      # dense overflow: padded rows
+                        break
+                    flat = rows_pad[i:i + rpc][col < cc[:, None]]
+                    mant_chunks.append(np.pad(
+                        np.ascontiguousarray(flat, np.uint32),
+                        (0, cap - flat.shape[0])))
+            if mant_chunks is not None:
+                run = _chunk_decode_flat_fn(cfg, cap, n_words,
+                                            self.precision)
+            else:
+                mant = d2(rows_pad.reshape(b, c, n_words))
+                mant_chunks = [mant[i:i + chunk]
+                               for i in range(0, b_pad, chunk)]
+                run = _chunk_decode_packed_fn(cfg, n_words, self.precision)
         else:
             mant = d2(parsed["mant"]).astype(np.uint16)
+            mant_chunks = [mant[i:i + chunk] for i in range(0, b_pad, chunk)]
             run = _chunk_decode_fn(cfg, self.precision)
 
         pcm_chunks = []
         carry = jnp.zeros((c, half), _dtype(self.precision))
         with self._stage("decode/upload+dispatch"):
-            for i in range(0, b_pad, chunk):
+            for k, i in enumerate(range(0, b_pad, chunk)):
                 pcm16, carry = run(
                     jnp.asarray(ba[i:i + chunk]),
                     jnp.asarray(sf[i:i + chunk]),
-                    jnp.asarray(mant[i:i + chunk]),
+                    jnp.asarray(mant_chunks[k]),
                     jnp.asarray(overall[i:i + chunk]),
                     jnp.asarray(lrms[i:i + chunk]), carry, consts)
                 pcm_chunks.append(pcm16)
