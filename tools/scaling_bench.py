@@ -17,7 +17,16 @@ is ~4 KB/boundary (halo) + 128 KB (histogram psum) against ~10 MB of
 per-shard compute inputs, so measured overhead on this host is the
 binding figure for the >=80 % scaling target (BASELINE.md).
 
-Usage: python tools/scaling_bench.py [--blocks 256] [--sizes 1,2,4,8]
+Two measurements:
+  strong scaling — a fixed --blocks workload split over n devices (per-shard
+    batch shrinks with n, so small workloads understate large meshes);
+  weak scaling — a fixed --blocks-per-device workload per shard (the total
+    grows with n), the standard way to isolate the overhead the collectives
+    add: ideal weak scaling keeps wall-clock constant, so
+    eff = t(1)/t(n) per ideal-core group.
+
+Usage: python tools/scaling_bench.py [--blocks 1024] [--blocks-per-device 128]
+                                     [--sizes 1,2,4,8]
 Writes SCALING.md at the repo root and prints one JSON line per mesh size.
 """
 
@@ -88,7 +97,8 @@ def _measure(n_dev: int, blocks: int, reps: int) -> None:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--blocks", type=int, default=256)
+    ap.add_argument("--blocks", type=int, default=1024)
+    ap.add_argument("--blocks-per-device", type=int, default=128)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--sizes", default="1,2,4,8")
     ap.add_argument("--child", type=int, default=0)
@@ -102,8 +112,8 @@ def main() -> int:
     sizes = [int(s) for s in args.sizes.split(",")]
     n_cores = os.cpu_count() or 1
     have_taskset = os.path.exists("/usr/bin/taskset")
-    results = []
-    for n in sizes:
+
+    def run_child(n: int, blocks: int):
         env = dict(os.environ)
         env.pop("PALLAS_AXON_POOL_IPS", None)   # force CPU (axon plugin)
         env["JAX_PLATFORMS"] = "cpu"
@@ -119,23 +129,31 @@ def main() -> int:
         out = subprocess.run(
             pin + [sys.executable, os.path.abspath(__file__),
                    "--child", str(n),
-                   "--blocks", str(args.blocks), "--reps", str(args.reps)],
+                   "--blocks", str(blocks), "--reps", str(args.reps)],
             env=env, capture_output=True, text=True, timeout=1500, cwd=REPO)
-        line = None
         for ln in reversed((out.stdout or "").strip().splitlines()):
             try:
-                line = json.loads(ln)
-                break
+                return json.loads(ln)
             except json.JSONDecodeError:
                 continue
-        if line is None:
-            print(f"mesh size {n} failed:\n{out.stderr[-2000:]}",
-                  file=sys.stderr)
-            return 1
-        results.append(line)
-        print(json.dumps(line))
+        print(f"mesh size {n} failed:\n{out.stderr[-2000:]}",
+              file=sys.stderr)
+        return None
 
-    base = results[0]["blocks_per_s"]
+    strong, weak = [], []
+    for n in sizes:
+        r = run_child(n, args.blocks)
+        if r is None:
+            return 1
+        strong.append(r)
+        print(json.dumps({"mode": "strong", **r}))
+    for n in sizes:
+        r = run_child(n, args.blocks_per_device * n)
+        if r is None:
+            return 1
+        weak.append(r)
+        print(json.dumps({"mode": "weak", **r}))
+
     lines = [
         "# SCALING — block-sharded SPMD encode over an n-device mesh",
         "",
@@ -144,27 +162,48 @@ def main() -> int:
         "physical cores, so",
         f"wall-clock speedup is capped at {n_cores}x — the `eff(host)` "
         "column is",
-        "normalized to min(n, cores), isolating the sharding overhead the",
+        "normalized to min(n, cores), isolating the overhead the sharded",
         "program adds: halo ppermute + histogram psum + per-shard batch",
         "shrinkage.  Multi-host correctness of the same program is covered",
         "by tests/test_cluster.py (2-process fake cluster, byte-equal",
         "streams) and the driver's dryrun_multichip.",
         "",
+        f"## Strong scaling — fixed {args.blocks} blocks "
+        f"(~{args.blocks * 1024 / 44100:.1f} s of 44.1 kHz stereo) split "
+        "over n devices",
+        "",
         "| devices | blocks/s | speedup | eff(linear) | eff(host) |",
         "|---|---|---|---|---|",
     ]
-    for r in results:
+    base = strong[0]["blocks_per_s"]
+    for r in strong:
         n = r["n_devices"]
         sp = r["blocks_per_s"] / base
-        eff = sp / n
-        eff_host = sp / min(n, n_cores)
         lines.append(f"| {n} | {r['blocks_per_s']} | {sp:.2f}x "
-                     f"| {100 * eff:.0f}% | {100 * eff_host:.0f}% |")
+                     f"| {100 * sp / n:.0f}% "
+                     f"| {100 * sp / min(n, n_cores):.0f}% |")
     lines += [
         "",
-        f"Workload: {args.blocks} blocks (~{args.blocks * 1024 / 44100:.1f}"
-        " s of 44.1 kHz stereo), full Huffman+M/S encode path, device time",
-        "only (payload serialization is host-side and overlaps).",
+        f"## Weak scaling — fixed {args.blocks_per_device} blocks per "
+        "device (total grows with n)",
+        "",
+        "Ideal weak scaling keeps per-shard wall-clock constant;",
+        "eff = per-device throughput vs the 1-device run, normalized to",
+        "the ideal-core group (min(n, cores)) as above.",
+        "",
+        "| devices | blocks | blocks/s | per-device blocks/s | eff(host) |",
+        "|---|---|---|---|---|",
+    ]
+    wbase = weak[0]["blocks_per_s"]
+    for r in weak:
+        n = r["n_devices"]
+        per_dev = r["blocks_per_s"] / min(n, n_cores)
+        lines.append(f"| {n} | {r['blocks']} | {r['blocks_per_s']} "
+                     f"| {per_dev:.2f} | {100 * per_dev / wbase:.0f}% |")
+    lines += [
+        "",
+        "Workload: full Huffman+M/S encode path, device time only (payload",
+        "serialization is host-side and overlaps).",
     ]
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
