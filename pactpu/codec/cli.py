@@ -11,6 +11,7 @@ Usage:
   python -m pactpu stats  IN.wav                     # encode statistics
   python -m pactpu debug  IN.wav [--block 1] [--out blk.npz]
   python -m pactpu bench  IN.wav  [--reps 3]
+  python -m pactpu train  OUT.npz WAV[:TID] ...      # retrain Huffman tables
 
 Mono WAVs encode as single-channel streams (header nChannels=1); the
 channel count and sample rate always follow the input file.
@@ -34,7 +35,8 @@ def _engine(args):
     if getattr(args, "peak_mode", None):
         cfg = dataclasses.replace(cfg, peak_mode=args.peak_mode)
     return Engine(cfg=cfg, rate_mode=getattr(args, "rate", "reservoir"),
-                  fmt=getattr(args, "fmt", "wak"))
+                  fmt=getattr(args, "fmt", "wak"),
+                  tables=getattr(args, "tables", None))
 
 
 def _report_savings(stream: bytes, pcm_len: int, cfg, elapsed: float,
@@ -143,6 +145,67 @@ def cmd_debug(args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    """Offline Huffman-table training — the reference's HuffmanTrainer
+    workflow (codec/Huffman.py:156-250 hooked at codec/codec.py:121-122):
+    encode each WAV, histogram the unsigned mantissas the encoder actually
+    produced into the table id named for that file (`WAV:TID`, default 1),
+    build one Huffman table per id, and write the set as an .npz that
+    `encode --tables` / `Engine(tables=path)` consumes.  Histograms
+    accumulate on device (scatter-add; the distributed path psums the same
+    histogram across a mesh, pactpu/parallel/shard.py)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pactpu.codec import engine as E
+    from pactpu.codec.wav import read_wav
+    from pactpu.ops import huffman_train as ht
+    from pactpu.utils.config import CodecConfig
+
+    hists: dict[int, np.ndarray] = {}
+    chunk = 256
+    for spec in args.inputs:
+        path, _, tid_s = spec.rpartition(":")
+        if not path or not tid_s.isdigit():
+            path, tid = spec, 1
+        else:
+            tid = int(tid_s)
+        if not 1 <= tid <= 15:       # header tableID field is 4 bits
+            print(f"table id {tid} out of range 1..15: {spec}",
+                  file=sys.stderr)
+            return 1
+        wav = read_wav(path)
+        cfg = CodecConfig(sample_rate=wav.sample_rate,
+                          n_channels=wav.samples.shape[1])
+        if args.bps:
+            cfg = dc.replace(cfg, target_bits_per_sample=args.bps)
+        body = jax.jit(E.encode_body(cfg, return_syms=True))
+        consts = jax.device_put(E.engine_consts_np(cfg))
+        half = cfg.n_mdct_lines
+        n_blocks = -(-wav.samples.shape[0] // half)
+        freqs = hists.setdefault(tid, np.zeros(1 << 15, np.int64))
+        for lo in range(0, n_blocks, chunk):
+            b = min(chunk, n_blocks - lo)
+            frames = E.frame_blocks_np(
+                wav.samples[max(lo - 1, 0) * half:(lo + b) * half],
+                half, b + (lo > 0))[(1 if lo else 0):]
+            out = body(jnp.asarray(frames), jnp.zeros(b, jnp.float32),
+                       consts)
+            freqs += np.asarray(
+                ht.symbol_histogram(out["syms"]), np.int64)
+        print(f"{path}: {int(freqs.sum())} symbols total in table {tid}")
+
+    tabs = ht.train_tables(hists)
+    ht.save_tables(args.out, *tabs)
+    n_codes = int(np.count_nonzero(tabs[0], axis=1).sum())
+    print(f"wrote {args.out}: {tabs[0].shape[0]} tables, {n_codes} coded "
+          f"symbols, max code length {int(tabs[0].max())} bits")
+    return 0
+
+
 def cmd_bench(args) -> int:
     from pactpu.codec.wav import read_wav
     eng = _engine(args)
@@ -175,12 +238,16 @@ def main(argv=None) -> int:
     enc.add_argument("--peak-mode", choices=("ref", "para", "weighted"),
                      default=None, dest="peak_mode",
                      help="psych-model peak picker (aidan variants)")
+    enc.add_argument("--tables", default=None,
+                     help="Huffman table set .npz (from `train`)")
     enc.set_defaults(fn=cmd_encode)
 
     dec = sub.add_parser("decode")
     dec.add_argument("input")
     dec.add_argument("output")
     dec.add_argument("--fmt", choices=("wak", "pac"), default="wak")
+    dec.add_argument("--tables", default=None,
+                     help="Huffman table set .npz (must match the encode)")
     dec.set_defaults(fn=cmd_decode)
 
     rt = sub.add_parser("roundtrip")
@@ -212,6 +279,14 @@ def main(argv=None) -> int:
     be.add_argument("--rate", choices=("cbr", "reservoir"),
                     default="reservoir")
     be.set_defaults(fn=cmd_bench)
+
+    tr = sub.add_parser("train")
+    tr.add_argument("out", help="output table-set .npz")
+    tr.add_argument("inputs", nargs="+", metavar="WAV[:TID]",
+                    help="training WAVs, each optionally tagged with the "
+                         "1-based table id it feeds (default 1)")
+    tr.add_argument("--bps", type=float, default=None)
+    tr.set_defaults(fn=cmd_train)
 
     args = p.parse_args(argv)
     return args.fn(args)

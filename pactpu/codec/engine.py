@@ -733,6 +733,13 @@ class Engine:
                     or int(self.tables[2].max(initial=0)) > 31):
                 raise ValueError("Huffman code lengths > 31 bits cannot "
                                  "be packed")
+            # a 0-bit escape code is unencodable: encode_select's cost
+            # model would undercut every real table with it and the
+            # decoder's bit-walk would never consume a bit
+            if int(self.tables[2].min(initial=1)) < 1:
+                raise ValueError("every Huffman table needs an escape code "
+                                 "of length >= 1 (see huffman_train."
+                                 "train_tables for the escape-only default)")
         self.chunk_blocks = chunk_blocks
         if device_pack is None:
             device_pack = not os.environ.get("PACTPU_NO_DEVICE_PACK")

@@ -104,6 +104,15 @@ def build_table(freqs: np.ndarray, low_freq: int = LOW_FREQ):
     esc_len = 0
     esc_code = 0
 
+    # degenerate single-leaf tree (no symbol reached low_freq: the table is
+    # escape-only).  The reference would assign the root a 0-bit code, which
+    # is unencodable (the decoder's bit-walk would never consume a bit and
+    # encode_select's cost model would undercut every real table), so give
+    # the lone escape leaf the 1-bit code '0' instead — prefix-free and
+    # decodable, at +1 bit per line vs the reference's impossible 0
+    if root[2] is None:
+        return lengths, codes, 1, 0
+
     stack = [(root, 0, 0)]  # node, code, depth
     while stack:
         (freq, sym, left, right), code, depth = stack.pop()
@@ -158,15 +167,18 @@ def train_tables(histograms: Dict[int, np.ndarray],
                  n_symbols: int = NUM_SYMBOLS):
     """Build a full table set from per-table histograms.
 
-    histograms: {table_id (1-based): freqs}.  Missing ids get empty tables
-    (escape-only).  Returns dense arrays in the huffman_tables.npz layout:
-    (lengths[T, S] u8, codes[T, S] u32, escape_lengths[T] u8,
+    histograms: {table_id (1-based): freqs}.  Missing ids get escape-only
+    tables (1-bit escape code, see build_table's single-leaf case) so the
+    set stays dense and decodable — an escape-only row with a 0-bit escape
+    would undercut every real table in encode_select's argmin and emit an
+    undecodable stream.  Returns dense arrays in the huffman_tables.npz
+    layout: (lengths[T, S] u8, codes[T, S] u32, escape_lengths[T] u8,
     escape_codes[T] u32) with T = max table id.
     """
     t = max(histograms)
     lengths = np.zeros((t, n_symbols), np.uint8)
     codes = np.zeros((t, n_symbols), np.uint32)
-    esc_len = np.zeros(t, np.uint8)
+    esc_len = np.ones(t, np.uint8)       # escape-only default (code '0')
     esc_code = np.zeros(t, np.uint32)
     for tid, freqs in histograms.items():
         le, co, el, ec = build_table(np.asarray(freqs))

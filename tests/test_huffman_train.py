@@ -212,3 +212,71 @@ def test_engine_rejects_unpackable_tables():
     esc_code = np.zeros(10, np.int32)
     with pytest.raises(ValueError, match="31"):
         Engine(tables=(lengths, codes, esc_len, esc_code))
+
+
+def test_escape_only_table_gets_one_bit_escape():
+    """A histogram where nothing reaches LOW_FREQ builds an escape-only
+    table.  The reference's tree walk would assign the lone leaf a 0-bit
+    code (unencodable: the cost model would undercut every real table and
+    the decoder would never consume a bit); build_table gives it the 1-bit
+    code '0' instead."""
+    freqs = np.zeros(64, np.int64)
+    freqs[5] = ht.LOW_FREQ - 1          # folds into escape
+    lengths, codes, esc_len, esc_code = ht.build_table(freqs)
+    assert int(lengths.max()) == 0
+    assert esc_len == 1 and esc_code == 0
+    # train_tables fills MISSING ids the same way
+    tabs = ht.train_tables({3: np.zeros(64, np.int64)})
+    assert tabs[0].shape[0] == 3
+    assert int(tabs[2].min()) >= 1
+
+
+def test_engine_rejects_zero_length_escape():
+    import pytest
+
+    from pactpu.codec.engine import Engine
+
+    lengths = np.ones((2, 16), np.int32)
+    codes = np.zeros((2, 16), np.int32)
+    esc_len = np.array([7, 0], np.int32)
+    esc_code = np.zeros(2, np.int32)
+    with pytest.raises(ValueError, match="escape"):
+        Engine(tables=(lengths, codes, esc_len, esc_code))
+
+
+def test_cli_train_encode_decode_roundtrip(tmp_path):
+    """The full user workflow (reference HuffmanTrainer rewrite of
+    huffmanTables.pickle, codec/Huffman.py:197-203): `pactpu train` a
+    table set from a WAV, then encode/decode with `--tables`.  In cbr mode
+    the allocation is table-independent, so the custom-table decode must
+    equal the shipped-table decode exactly."""
+    from pactpu.codec.cli import main
+    from pactpu.codec.engine import Engine
+    from pactpu.codec.wav import read_wav, write_wav
+    from pactpu.utils.config import CodecConfig
+
+    rng = np.random.default_rng(7)
+    t = np.arange(4 * 1024 + 64) / 44100.0
+    sig = (0.4 * np.sin(2 * np.pi * 700 * t)
+           + 0.03 * rng.standard_normal(t.shape[0]))
+    pcm = np.clip(np.stack([sig, 0.6 * sig], 1) * 32767,
+                  -32768, 32767).astype(np.int16)
+    wav = tmp_path / "in.wav"
+    write_wav(str(wav), 44100, pcm)
+
+    tabs = tmp_path / "tabs.npz"
+    assert main(["train", str(tabs), f"{wav}:3"]) == 0
+    z = np.load(tabs)
+    assert z["lengths"].shape[0] == 3
+    assert int(z["escape_lengths"].min()) >= 1   # ids 1,2 escape-only
+
+    wak = tmp_path / "out.wak"
+    out = tmp_path / "out.wav"
+    assert main(["encode", str(wav), str(wak), "--rate", "cbr",
+                 "--tables", str(tabs)]) == 0
+    assert main(["decode", str(wak), str(out), "--tables", str(tabs)]) == 0
+
+    eng = Engine(CodecConfig(), rate_mode="cbr")
+    _, ref = eng.decode(eng.encode(pcm))
+    got = read_wav(str(out)).samples
+    np.testing.assert_array_equal(got, ref)
