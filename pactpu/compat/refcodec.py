@@ -701,13 +701,16 @@ def read_header(data: bytes) -> Tuple[CodecConfig, int, int]:
     """Returns (config, numSamples, header_size)."""
     if data[:4] != PAC_TAG:
         raise ValueError("not a PAC/WAK stream")
-    (fs, n_ch, num_samples, n_mdct, n_scale_bits,
-     n_mant_size_bits) = struct.unpack_from("<LHLLHH", data, 4)
-    off = 4 + struct.calcsize("<LHLLHH")
-    (n_bands,) = struct.unpack_from("<L", data, off)
-    off += 4
-    n_lines = struct.unpack_from("<%dH" % n_bands, data, off)
-    off += 2 * n_bands
+    try:
+        (fs, n_ch, num_samples, n_mdct, n_scale_bits,
+         n_mant_size_bits) = struct.unpack_from("<LHLLHH", data, 4)
+        off = 4 + struct.calcsize("<LHLLHH")
+        (n_bands,) = struct.unpack_from("<L", data, off)
+        off += 4
+        n_lines = struct.unpack_from("<%dH" % n_bands, data, off)
+        off += 2 * n_bands
+    except struct.error as e:           # truncated header
+        raise ValueError(f"truncated PAC/WAK header: {e}") from e
     if n_ch not in (1, 2):
         raise ValueError(f"only mono/stereo supported, got {n_ch} channels")
     cfg = CodecConfig(sample_rate=fs, n_channels=n_ch, n_mdct_lines=n_mdct,
