@@ -38,6 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pactpu import native
 from pactpu.codec.engine import _reservoir_extras, engine_consts_np
+from pactpu.ops import quantize as q_ops
 from pactpu.compat import refcodec as rc
 from pactpu.parallel import shard
 from pactpu.utils.config import CodecConfig
@@ -205,3 +206,101 @@ def encode_distributed(pcm: np.ndarray, cfg: Optional[CodecConfig] = None,
     return ShardResult(header=header, payload=payload, block_start=my_lo,
                        n_blocks=real, n_blocks_total=b,
                        histogram=np.asarray(hist), savings=savings_total)
+
+
+@dataclasses.dataclass
+class DecodeShardResult:
+    """One process's share of a distributed decode."""
+
+    sample_rate: int
+    pcm: np.ndarray        # int16 [n_local, C] samples of this range
+    sample_start: int      # first global sample index of the range
+    num_samples: int       # total samples in the whole decoded stream
+
+
+def assemble_pcm(parts: List[Tuple[int, np.ndarray]],
+                 num_samples: int) -> np.ndarray:
+    """Concatenate per-range PCM (sample_start, pcm) in sample order and
+    trim to the stream's declared length."""
+    return np.concatenate(
+        [p for _, p in sorted(parts, key=lambda t: t[0])])[:num_samples]
+
+
+def decode_distributed(data: bytes,
+                       mesh: Optional[Mesh] = None) -> DecodeShardResult:
+    """SPMD-decode a stream's block payloads over the (multi-host) mesh.
+
+    data: the full .wak stream, identical on every process (the bit-serial
+    payload parse is host-local and cheap; synthesis + overlap-add run as
+    ONE shard_map program whose OLA carry crosses shard/host boundaries as
+    a half-block `ppermute`, pactpu.parallel.shard.sharded_decode_fn).
+    Returns this process's contiguous PCM sample range; concatenating all
+    processes' ranges (`assemble_pcm`) equals the single-process
+    `Engine.decode` output exactly.
+    """
+    cfg, num_samples, off = rc.read_header(data)
+    mesh = mesh or shard.make_mesh()
+    half = cfg.n_mdct_lines
+    c = cfg.n_channels
+    n_dev = mesh.devices.size
+    n_lines = np.asarray(cfg.band_layout.n_lines, np.int32)
+    parsed = native.unpack_file(data[off:], n_lines, cfg.n_scale_bits,
+                                cfg.n_mant_size_bits, cfg.n_table_id_bits,
+                                read_lrms=True, n_channels=c)
+    b = parsed["n_cblocks"] // c
+    # pad past b so the padded block after the last real one emits the
+    # final OLA flush half (out[b] = second[b-1] + zeros,
+    # reference codec/pacfile.py:171-178)
+    b_pad = -(-(b + 1) // n_dev) * n_dev
+
+    dev_order = {d: i for i, d in enumerate(mesh.devices.flat)}
+    local_ids = sorted(dev_order[d] for d in mesh.devices.flat
+                       if d.process_index == jax.process_index())
+    blocks_per_dev = b_pad // n_dev
+    my_lo = local_ids[0] * blocks_per_dev
+    my_hi = (local_ids[-1] + 1) * blocks_per_dev
+
+    spec = NamedSharding(mesh, P(shard.BLOCK_AXIS))
+
+    def put(a, dtype):
+        a = a.reshape(b, c, *a.shape[1:]).astype(dtype)
+        pad = [(0, b_pad - b)] + [(0, 0)] * (a.ndim - 1)
+        a = np.pad(a, pad)
+        return jax.make_array_from_process_local_data(
+            spec, np.ascontiguousarray(a[my_lo:my_hi]),
+            global_shape=a.shape)
+
+    ba = put(parsed["ba"], np.int32)
+    sf = put(parsed["sf"], np.int32)
+    mant = put(parsed["mant"], np.int32)
+    overall = put(parsed["overall"], np.int32)
+    lrms = np.pad(parsed["lrms"] != 0, ((0, b_pad - b), (0, 0)))
+    lrms = jax.make_array_from_process_local_data(
+        spec, np.ascontiguousarray(lrms[my_lo:my_hi]),
+        global_shape=lrms.shape)
+
+    consts = jax.device_put(
+        engine_consts_np(cfg),
+        jax.tree.map(lambda _: NamedSharding(mesh, P()),
+                     engine_consts_np(cfg)))
+
+    out = shard.sharded_decode_fn(cfg, mesh)(ba, sf, mant, overall, lrms,
+                                             consts)
+    local, lo = _local_blocks(out)
+    assert lo == my_lo
+
+    # output block t = OLA of frames t-1, t; the reference driver drops
+    # block 0 (MDCT delay) and the flush half arrives as block b — this
+    # range owns output blocks [max(my_lo, 1), min(my_hi, b + 1))
+    t0, t1 = max(my_lo, 1), min(my_hi, b + 1)
+    if t1 > t0:
+        keep = local[t0 - my_lo:t1 - my_lo]          # [nb, C, half] float
+        pcm16 = np.asarray(
+            q_ops.float_to_pcm16(jnp.asarray(keep)))
+        pcm = pcm16.transpose(1, 0, 2).reshape(c, -1).T
+        start = (t0 - 1) * half
+        pcm = pcm[:max(0, num_samples - start)].copy()
+    else:
+        pcm, start = np.zeros((0, c), np.int16), num_samples
+    return DecodeShardResult(sample_rate=cfg.sample_rate, pcm=pcm,
+                             sample_start=start, num_samples=num_samples)

@@ -97,3 +97,24 @@ def test_sharded_decode_ola_matches_serial(mesh):
     expect = np.concatenate(
         [np.zeros((1, 2, half), np.float32), second[:-1]], axis=0) + first
     np.testing.assert_allclose(blocks_sh, expect, atol=1e-5)
+
+
+def test_decode_distributed_matches_engine(mesh):
+    """cluster.decode_distributed over the 8-device mesh reproduces the
+    single-process Engine.decode output (synthesis partitioning may move
+    f32 rounding by at most 1 LSB of the 16-bit output)."""
+    from pactpu.codec.engine import Engine
+    from pactpu.parallel import cluster
+
+    pcm = _signal_i16(11, CodecConfig().n_mdct_lines, seed=9).T[: 11 * 1024
+                                                                - 217]
+    eng = Engine(rate_mode="cbr")
+    stream = eng.encode(np.ascontiguousarray(pcm))
+    fs_ref, ref = eng.decode(stream)
+
+    res = cluster.decode_distributed(stream, mesh=mesh)
+    got = cluster.assemble_pcm([(res.sample_start, res.pcm)],
+                               res.num_samples)
+    assert res.sample_rate == fs_ref
+    assert got.shape == ref.shape
+    assert np.abs(got.astype(np.int32) - ref.astype(np.int32)).max() <= 1
