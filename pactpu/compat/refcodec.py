@@ -464,15 +464,20 @@ class HuffmanTables:
 
 @dataclass
 class Reservoir:
-    """Bit deposit shared across blocks (reference codec/Huffman.py:353-374)."""
+    """Bit deposit shared across blocks (reference codec/Huffman.py:353-374).
+
+    `divisor` is the withdrawal trickle (the reference hardcodes 100 =
+    1%/block); drivers pass cfg.reservoir_withdraw_divisor so the oracle
+    honors the same knob as the engine's reservoir scan."""
     deposit: int = 0
+    divisor: int = 100
 
     def put(self, bits: int) -> None:
         self.deposit += int(bits)
 
     def take(self) -> int:
         if self.deposit > 10:
-            w = self.deposit // 100
+            w = self.deposit // self.divisor
             self.deposit -= w
             return w
         if self.deposit < 0:
@@ -515,15 +520,22 @@ class BitWriter:
 
 
 class BitReader:
+    """MSB-first bit reader (reference codec/bitpack.py ReadBits).  Unlike
+    the reference, an overrun raises ValueError instead of a raw IndexError
+    so public decode APIs always fail cleanly on corrupt payloads."""
+
     def __init__(self, data: bytes):
         self._data = data
+        self._nbits = 8 * len(data)
         self._pos = 0  # bit position
 
     def read(self, nbits: int) -> int:
         if nbits <= 0:
             return 0
-        out = 0
         pos = self._pos
+        if pos + nbits > self._nbits:
+            raise ValueError("corrupt payload: bit stream overrun")
+        out = 0
         for _ in range(nbits):
             byte = self._data[pos >> 3]
             out = (out << 1) | ((byte >> (7 - (pos & 7))) & 1)
@@ -533,6 +545,8 @@ class BitReader:
 
     def read_bit(self) -> int:
         pos = self._pos
+        if pos >= self._nbits:
+            raise ValueError("corrupt payload: bit stream overrun")
         b = (self._data[pos >> 3] >> (7 - (pos & 7))) & 1
         self._pos = pos + 1
         return b
@@ -766,12 +780,21 @@ def unpack_block(data: bytes, off: int, cfg: CodecConfig,
     osc2 = np.zeros(2, dtype=np.int64)
     lrms = np.zeros(layout.n_bands, dtype=np.int64)
     for c in range(2):
-        (n_bytes,) = struct.unpack_from("<L", data, off)
+        try:
+            (n_bytes,) = struct.unpack_from("<L", data, off)
+        except struct.error as e:       # truncated block length prefix
+            raise ValueError(f"truncated channel-block header: {e}") from e
         off += 4
+        if off + n_bytes > len(data):
+            raise ValueError("corrupt payload: channel-block length "
+                             "exceeds the stream")
         r = BitReader(data[off:off + n_bytes])
         off += n_bytes
         osc2[c] = r.read(cfg.n_scale_bits)
         tid = r.read(cfg.n_table_id_bits)
+        if not 1 <= tid <= tables.num_tables:
+            raise ValueError(f"corrupt payload: Huffman table id {tid} "
+                             f"out of range 1..{tables.num_tables}")
         tree = tables.decode_tree(tid)
         for b in range(layout.n_bands):
             ba = r.read(cfg.n_mant_size_bits)
@@ -787,6 +810,9 @@ def unpack_block(data: bytes, off: int, cfg: CodecConfig,
                     node = 0
                     while tree[node, 2] == -2:
                         node = tree[node, r.read_bit()]
+                        if node < 0:    # dead branch: no such code
+                            raise ValueError(
+                                "corrupt payload: invalid Huffman code")
                     sym = int(tree[node, 2])
                     if sym == -1:  # escape: raw ba-bit mantissa follows
                         sym = r.read(ba)
@@ -813,7 +839,7 @@ def encode_file(pcm: np.ndarray, sample_rate: int,
     header, _ = write_header(cfg, n)
     out = bytearray(header)
 
-    reservoir = Reservoir()
+    reservoir = Reservoir(divisor=cfg.reservoir_withdraw_divisor)
     extra = [0]
     prior = np.zeros((2, half), dtype=np.float64)
     n_blocks = -(-n // half)

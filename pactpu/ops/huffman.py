@@ -132,13 +132,3 @@ def split_sign(mantissas: jax.Array, line_bits: jax.Array):
     sign = jnp.right_shift(mantissas, lb - 1) & 1
     unsigned = mantissas & (jnp.left_shift(jnp.int32(1), lb - 1) - 1)
     return sign, unsigned
-
-
-def reservoir_step(deposit: jax.Array):
-    """One block's withdrawal from the bit reservoir: floor(deposit/100)
-    when deposit > 10, the whole (negative) balance when deposit < 0
-    (reference codec/Huffman.py:353-371). Returns (withdrawn, new_deposit)."""
-    take_pos = jnp.where(deposit > 10, deposit // 100, 0)
-    take_neg = jnp.where(deposit < 0, deposit, 0)
-    take = take_pos + take_neg
-    return take, deposit - take
