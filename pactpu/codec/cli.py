@@ -3,7 +3,8 @@
 back to WAV, report elapsed time and Huffman bits saved.
 
 Usage:
-  python -m pactpu encode  IN.wav  OUT.wak  [--rate cbr|reservoir]
+  python -m pactpu encode  IN.wav  OUT.wak  [--rate cbr|reservoir|exact]
+                                            [--f64] [--golden REF.wak]
                                             [--fmt wak|pac] [--bps 2.27]
                                             [--peak-mode ref|para|weighted]
   python -m pactpu decode  IN.wak  OUT.wav  [--fmt wak|pac]
@@ -15,6 +16,11 @@ Usage:
 
 Mono WAVs encode as single-channel streams (header nChannels=1); the
 channel count and sample rate always follow the input file.
+
+`--rate exact` replays the reference's sequential reservoir trajectory
+(stereo-only: mono has no golden reference); with `--f64` the output
+byte-reproduces a serial reference encode, which `--golden REF.wak`
+verifies against a golden file.
 """
 
 from __future__ import annotations
@@ -34,9 +40,33 @@ def _engine(args):
         cfg = dataclasses.replace(cfg, target_bits_per_sample=args.bps)
     if getattr(args, "peak_mode", None):
         cfg = dataclasses.replace(cfg, peak_mode=args.peak_mode)
+    precision = "f32"
+    if getattr(args, "f64", False):
+        # byte-exact reference parity needs float64 analysis; enable x64
+        # before the first trace (safe: the CLI owns the process)
+        import jax
+        jax.config.update("jax_enable_x64", True)
+        precision = "f64"
     return Engine(cfg=cfg, rate_mode=getattr(args, "rate", "reservoir"),
                   fmt=getattr(args, "fmt", "wak"),
+                  precision=precision,
                   tables=getattr(args, "tables", None))
+
+
+def _check_golden(stream: bytes, golden_path: str) -> None:
+    """Report byte equality of the encode against a golden stream (the
+    reference workflow being matched: codec/pacfile.py:388-503 producing
+    coded/*.wak)."""
+    with open(golden_path, "rb") as f:
+        gold = f.read()
+    if stream == gold:
+        print(f"golden match: YES — byte-identical to {golden_path} "
+              f"({len(gold)} bytes)")
+    else:
+        n = min(len(stream), len(gold))
+        first = next((i for i in range(n) if stream[i] != gold[i]), n)
+        print(f"golden match: NO — sizes {len(stream)}/{len(gold)}, "
+              f"first differing byte at offset {first}")
 
 
 def _report_savings(stream: bytes, pcm_len: int, cfg, elapsed: float,
@@ -63,6 +93,8 @@ def cmd_encode(args) -> int:
     if saved is not None:
         print(f"Huffman bits saved vs raw mantissas: {saved} "
               f"({saved / 8 / 1024:.1f} KiB)")
+    if getattr(args, "golden", None):
+        _check_golden(stream, args.golden)
     return 0
 
 
@@ -230,8 +262,14 @@ def main(argv=None) -> int:
     enc = sub.add_parser("encode")
     enc.add_argument("input")
     enc.add_argument("output")
-    enc.add_argument("--rate", choices=("cbr", "reservoir"),
+    enc.add_argument("--rate", choices=("cbr", "reservoir", "exact"),
                      default="reservoir")
+    enc.add_argument("--f64", action="store_true",
+                     help="float64 analysis (with --rate exact: "
+                          "byte-reproduces a serial reference encode; "
+                          "stereo-only)")
+    enc.add_argument("--golden", default=None, metavar="REF.wak",
+                     help="report byte equality against this golden stream")
     enc.add_argument("--fmt", choices=("wak", "pac"), default="wak")
     enc.add_argument("--bps", type=float, default=None,
                      help="target bits per sample (default 2.27)")
@@ -253,8 +291,9 @@ def main(argv=None) -> int:
     rt = sub.add_parser("roundtrip")
     rt.add_argument("input")
     rt.add_argument("--outdir", default=None)
-    rt.add_argument("--rate", choices=("cbr", "reservoir"),
+    rt.add_argument("--rate", choices=("cbr", "reservoir", "exact"),
                     default="reservoir")
+    rt.add_argument("--f64", action="store_true")
     rt.add_argument("--fmt", choices=("wak", "pac"), default="wak")
     rt.add_argument("--bps", type=float, default=None)
     rt.set_defaults(fn=cmd_roundtrip)

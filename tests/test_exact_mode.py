@@ -90,6 +90,48 @@ def test_streaming_exact_split_invariance(piano_pcm):
     assert b"".join(parts) == batch
 
 
+@requires_reference
+def test_cli_exact_f64_golden_report(piano_pcm, tmp_path, capsys):
+    """CLI exposure of the flagship parity feature (round-2 VERDICT #6):
+    `encode --rate exact --f64 --golden REF` must byte-match a serial
+    reference encode and say so."""
+    from pactpu.codec import cli
+    from pactpu.codec.wav import write_wav
+    pcm = piano_pcm[: 1024 * 12]
+    golden = tmp_path / "g.wak"
+    golden.write_bytes(rc.encode_file(pcm, 44100))
+    write_wav(str(tmp_path / "in.wav"), 44100, pcm)
+    x64_before = bool(jax.config.jax_enable_x64)
+    try:
+        rcode = cli.main(["encode", str(tmp_path / "in.wav"),
+                          str(tmp_path / "out.wak"), "--rate", "exact",
+                          "--f64", "--golden", str(golden)])
+    finally:
+        jax.config.update("jax_enable_x64", x64_before)
+    assert rcode == 0
+    out = capsys.readouterr().out
+    assert "golden match: YES" in out
+    assert (tmp_path / "out.wak").read_bytes() == golden.read_bytes()
+
+
+def test_cli_golden_mismatch_report(tmp_path, capsys):
+    """--golden against a non-matching file reports NO with the first
+    differing offset, and still writes the encode."""
+    from pactpu.codec import cli
+    from pactpu.codec.wav import write_wav
+    rng = np.random.default_rng(3)
+    pcm = np.clip(rng.standard_normal((1024 * 6, 2)) * 5000,
+                  -32767, 32767).astype(np.int16)
+    write_wav(str(tmp_path / "in.wav"), 44100, pcm)
+    bad = tmp_path / "bad.wak"
+    bad.write_bytes(b"PAC not really a stream")
+    assert cli.main(["encode", str(tmp_path / "in.wav"),
+                     str(tmp_path / "out.wak"), "--rate", "cbr",
+                     "--golden", str(bad)]) == 0
+    assert "golden match: NO" in capsys.readouterr().out
+    assert (tmp_path / "out.wak").stat().st_size > 0
+
+
 def test_exact_rejects_pac_format():
     with pytest.raises(ValueError):
         Engine(rate_mode="exact", fmt="pac")
