@@ -727,12 +727,25 @@ def read_header(data: bytes) -> Tuple[CodecConfig, int, int]:
         raise ValueError(f"truncated PAC/WAK header: {e}") from e
     if n_ch not in (1, 2):
         raise ValueError(f"only mono/stereo supported, got {n_ch} channels")
+    # The stream is self-describing: the decoder constructs the band layout
+    # from the header's nLines[] (reference codec/pacfile.py:123-151 builds
+    # ScaleFactorBands from the header), accepting ANY layout it declares —
+    # so an encode with custom band_limits round-trips.  Garbage headers
+    # still fail cleanly on the structural invariants below.
+    if n_bands < 1 or n_bands > n_mdct:
+        raise ValueError(f"corrupt header: {n_bands} bands for "
+                         f"{n_mdct} MDCT lines")
+    if sum(n_lines) != n_mdct:
+        raise ValueError(
+            f"corrupt header: band line counts sum to {sum(n_lines)}, "
+            f"expected nMDCTLines = {n_mdct}")
+    expect = assign_mdct_lines(n_mdct, fs)
+    override = None if tuple(n_lines) == expect else tuple(
+        int(x) for x in n_lines)
     cfg = CodecConfig(sample_rate=fs, n_channels=n_ch, n_mdct_lines=n_mdct,
                       n_scale_bits=n_scale_bits,
-                      n_mant_size_bits=n_mant_size_bits)
-    expect = assign_mdct_lines(n_mdct, fs)
-    if tuple(n_lines) != expect:
-        raise ValueError("non-standard band layout in header")
+                      n_mant_size_bits=n_mant_size_bits,
+                      band_line_counts=override)
     return cfg, num_samples, off
 
 

@@ -95,6 +95,13 @@ class CodecConfig:
     n_table_id_bits: int = 4          # bits for the Huffman table id
     target_bits_per_sample: float = 2.27
     band_limits: Tuple[float, ...] = CRITICAL_BAND_LIMITS_HZ
+    # Explicit per-band MDCT line counts.  None derives the layout from
+    # band_limits; a stream read back from disk carries the layout verbatim
+    # in its header nLines[] (reference codec/pacfile.py:123-151 constructs
+    # sfBands from the header), so read_header sets this to whatever the
+    # header declares — the decoder accepts ANY self-describing layout, not
+    # just the default derivation.
+    band_line_counts: Tuple[int, ...] | None = None
     max_mant_bits: int = 16           # cap (reference codec/codec.py:218-219)
 
     # Water-filling stop thresholds in dB on the global NMR residual
@@ -136,6 +143,8 @@ class CodecConfig:
 
     @property
     def band_layout(self) -> BandLayout:
+        if self.band_line_counts is not None:
+            return _explicit_layout(self.band_line_counts)
         return _band_layout(self.n_mdct_lines, self.sample_rate,
                             self.band_limits)
 
@@ -168,6 +177,11 @@ def _band_layout(n_mdct_lines: int, sample_rate: int,
                  band_limits: Tuple[float, ...]) -> BandLayout:
     return BandLayout(assign_mdct_lines(n_mdct_lines, sample_rate,
                                         band_limits))
+
+
+@lru_cache(maxsize=32)
+def _explicit_layout(n_lines: Tuple[int, ...]) -> BandLayout:
+    return BandLayout(n_lines)
 
 
 def default_config() -> CodecConfig:
