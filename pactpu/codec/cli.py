@@ -40,6 +40,8 @@ def _engine(args):
         cfg = dataclasses.replace(cfg, target_bits_per_sample=args.bps)
     if getattr(args, "peak_mode", None):
         cfg = dataclasses.replace(cfg, peak_mode=args.peak_mode)
+    if getattr(args, "window", None):
+        cfg = dataclasses.replace(cfg, window=args.window)
     precision = "f32"
     if getattr(args, "f64", False):
         # byte-exact reference parity needs float64 analysis; enable x64
@@ -276,6 +278,9 @@ def main(argv=None) -> int:
     enc.add_argument("--peak-mode", choices=("ref", "para", "weighted"),
                      default=None, dest="peak_mode",
                      help="psych-model peak picker (aidan variants)")
+    enc.add_argument("--window", choices=("sine", "kbd"), default=None,
+                     help="MDCT window; kbd is a non-reference extension — "
+                          "decode with the same --window")
     enc.add_argument("--tables", default=None,
                      help="Huffman table set .npz (from `train`)")
     enc.set_defaults(fn=cmd_encode)
@@ -284,6 +289,8 @@ def main(argv=None) -> int:
     dec.add_argument("input")
     dec.add_argument("output")
     dec.add_argument("--fmt", choices=("wak", "pac"), default="wak")
+    dec.add_argument("--window", choices=("sine", "kbd"), default=None,
+                     help="must match the encode's --window")
     dec.add_argument("--tables", default=None,
                      help="Huffman table set .npz (must match the encode)")
     dec.set_defaults(fn=cmd_decode)

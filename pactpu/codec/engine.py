@@ -63,7 +63,7 @@ from pactpu.ops import huffman as huff_ops
 from pactpu.ops import psycho
 from pactpu.ops import quantize as q_ops
 from pactpu.ops.mdct import _mdct_basis_np, mdct, imdct
-from pactpu.ops.windows import sine_window
+from pactpu.ops.windows import analysis_window
 from pactpu.utils.config import CodecConfig
 from pactpu.compat import refcodec as rc
 
@@ -156,11 +156,11 @@ def analyze_body(cfg: CodecConfig, precision: str = "f32"):
     half = cfg.n_mdct_lines
     fs = cfg.sample_rate
     dt = _dtype(precision)
-    sine = np.asarray(sine_window(2 * half), dt)
+    win = np.asarray(analysis_window(cfg.window, 2 * half), dt)
 
     def run(frames_i16: jax.Array, consts: dict):
         frames = q_ops.pcm16_to_float(frames_i16, dt)
-        sw = frames * sine[None, None, :]
+        sw = frames * win[None, None, :]
         lines = mdct(sw, consts["basis"])
         overall = q_ops.scale_factor(
             jnp.max(jnp.abs(lines), axis=-1), cfg.n_scale_bits, 5)
@@ -381,14 +381,14 @@ def encode_body_baseline(cfg: CodecConfig):
     budget = (cfg.target_bits_per_sample * half
               - cfg.n_scale_bits * (layout.n_bands + 1)
               - cfg.n_mant_size_bits * layout.n_bands)
-    sine = np.asarray(sine_window(n), np.float32)
+    win = np.asarray(analysis_window(cfg.window, n), np.float32)
 
     c = cfg.n_channels
 
     def run(frames_i16: jax.Array, consts: dict):
         b = frames_i16.shape[0]
         frames = q_ops.pcm16_to_float(frames_i16)
-        sw = frames * sine[None, None, :]
+        sw = frames * win[None, None, :]
         lines = mdct(sw, consts["basis"])
         overall = q_ops.scale_factor(
             jnp.max(jnp.abs(lines), axis=-1), cfg.n_scale_bits, 5)
@@ -432,7 +432,7 @@ def decode_body(cfg: CodecConfig, precision: str = "f32"):
     half = cfg.n_mdct_lines
     seg = np.asarray(layout.line_to_band)
     dt = _dtype(precision)
-    sine = np.asarray(sine_window(2 * half), dt)
+    win = np.asarray(analysis_window(cfg.window, 2 * half), dt)
 
     def run(ba: jax.Array, sf: jax.Array, mant: jax.Array,
             overall: jax.Array, lrms: jax.Array, consts: dict):
@@ -455,7 +455,7 @@ def decode_body(cfg: CodecConfig, precision: str = "f32"):
             out0 = jnp.where(line_ms, m - s, m)
             out1 = jnp.where(line_ms, m, s)
             lines = jnp.stack([out0, out1], axis=1)
-        return imdct(lines, consts["basis"]) * sine[None, None, :]
+        return imdct(lines, consts["basis"]) * win[None, None, :]
 
     return run
 
@@ -707,6 +707,11 @@ class Engine:
         if self.cfg.alloc_mode != "water_fill" and rate_mode == "exact":
             raise ValueError("exact mode reproduces the reference's "
                              "water-filling trajectory")
+        if self.cfg.window not in ("sine", "kbd"):
+            raise ValueError(f"unknown window {self.cfg.window!r}")
+        if self.cfg.window != "sine" and rate_mode == "exact":
+            raise ValueError("exact mode reproduces the reference's "
+                             "sine-windowed trajectory")
         _dtype(precision)  # validate
         self.rate_mode = rate_mode
         self.fmt = fmt
@@ -1135,6 +1140,12 @@ class Engine:
         the staged state for `_decode_finish` without blocking on device
         results."""
         cfg, num_samples, off = rc.read_header(data)
+        if cfg.window != self.cfg.window:
+            # the stream format carries no window field; synthesis follows
+            # this engine's configured window (README: "kbd" streams are a
+            # flag-gated extension decoded by a window="kbd" engine)
+            import dataclasses
+            cfg = dataclasses.replace(cfg, window=self.cfg.window)
         half = cfg.n_mdct_lines
         c = cfg.n_channels
         huff = self.fmt == "wak"

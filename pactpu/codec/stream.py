@@ -225,9 +225,11 @@ class StreamingDecoder:
     always drains everything.
     """
 
-    def __init__(self, fmt: str = "wak", chunk_blocks: int = 16):
+    def __init__(self, fmt: str = "wak", chunk_blocks: int = 16,
+                 window: str = "sine"):
         self._eng: Optional[Engine] = None
         self._fmt = fmt
+        self._window = window       # stream format carries no window field
         self._chunk = int(chunk_blocks)
         self._buf = bytearray()        # undecoded bitstream bytes
         self._pending: list = []       # parsed block payload spans
@@ -257,6 +259,9 @@ class StreamingDecoder:
             except (struct.error, ValueError, IndexError):
                 return np.zeros((0, 2), np.int16)    # header incomplete
                 # (channel count unknown until the header parses)
+            if cfg.window != self._window:
+                import dataclasses
+                cfg = dataclasses.replace(cfg, window=self._window)
             self._cfg = cfg
             self._num_samples = int(n_samp)
             self._eng = Engine(cfg=cfg, fmt=self._fmt,

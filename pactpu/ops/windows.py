@@ -33,7 +33,10 @@ def hann_window(n: int) -> np.ndarray:
 @lru_cache(maxsize=None)
 def kbd_window(n: int, alpha: float = 4.0) -> np.ndarray:
     """Kaiser-Bessel-derived window with parameter alpha
-    (reference codec/window.py:56-78)."""
+    (reference codec/window.py:56-78).  Satisfies the Princen-Bradley
+    condition w[t]^2 + w[t+N/2]^2 = 1 by construction (sqrt of cumulative
+    Kaiser energy), so a KBD-windowed MDCT reconstructs perfectly under
+    50% overlap-add."""
     t = np.arange(n // 2 + 1, dtype=np.float64)
     kaiser = (np.i0(alpha * np.pi * np.sqrt(1.0 - (4.0 * t / n - 1.0) ** 2))
               / np.i0(np.pi * alpha))
@@ -41,3 +44,15 @@ def kbd_window(n: int, alpha: float = 4.0) -> np.ndarray:
     num = np.cumsum(kaiser[:-1] ** 2)
     num = np.concatenate((num, num[::-1]))
     return np.sqrt(num / denom)
+
+
+def analysis_window(kind: str, n: int) -> np.ndarray:
+    """The engine's analysis/synthesis window by config name
+    (CodecConfig.window): "sine" is the reference main path
+    (codec/window.py:27-39); "kbd" is the flag-gated KBD mode the
+    reference defines but never wires in (codec/window.py:56-78)."""
+    if kind == "sine":
+        return sine_window(n)
+    if kind == "kbd":
+        return kbd_window(n)
+    raise ValueError(f"unknown window {kind!r} (use 'sine' or 'kbd')")

@@ -112,6 +112,15 @@ class CodecConfig:
     # Per-band L/R-vs-M/S decision factor (reference codec/codec.py:102).
     ms_decision_factor: float = 0.8
 
+    # MDCT analysis/synthesis window: "sine" (the reference main path,
+    # codec/window.py:27-39) or "kbd" (Kaiser-Bessel-derived alpha=4,
+    # codec/window.py:56-78 — defined there but never wired into the
+    # reference encode path).  Both satisfy Princen-Bradley, so either
+    # reconstructs perfectly; the stream format carries NO window field,
+    # so "kbd" streams are a non-reference-compatible extension that must
+    # be decoded with window="kbd".
+    window: str = "sine"
+
     # Peak-picker mode for the psychoacoustic model: "ref" = the master
     # model's findpeaks (reference codec/psychoac.py:158-191, Q3/Q4 quirks),
     # "para"/"weighted" = aidan's alternative pickers

@@ -65,3 +65,32 @@ def test_windows_match_reference_formulas():
     assert w.shape == (1024,)
     # KBD satisfies the Princen-Bradley condition w[n]^2 + w[n+N/2]^2 = 1
     np.testing.assert_allclose(w[:512] ** 2 + w[512:] ** 2, 1.0, atol=1e-12)
+
+
+def test_kbd_princen_bradley_2048():
+    """PR condition at the codec's window size (round-2 VERDICT #4)."""
+    w = kbd_window(2048)
+    np.testing.assert_allclose(w[:1024] ** 2 + w[1024:] ** 2, 1.0,
+                               atol=1e-12)
+
+
+def test_kbd_perfect_reconstruction_overlap_add():
+    """KBD-windowed MDCT/IMDCT with 50% overlap-add reconstructs the input
+    (the window="kbd" engine mode's transform chain)."""
+    rng = np.random.default_rng(6)
+    n = 1024
+    x = rng.uniform(-1, 1, 6 * n)
+    w = kbd_window(2 * n)
+    prior = np.zeros(n)
+    ola = np.zeros(n)
+    out = []
+    blocks = list(x.reshape(6, n)) + [np.zeros(n)]
+    for blk in blocks:
+        full = np.concatenate([prior, blk])
+        prior = blk
+        lines = np.asarray(m.mdct((w * full).astype(np.float32)))
+        td = w * np.asarray(m.imdct(lines))
+        out.append(ola + td[:n])
+        ola = td[n:]
+    rec = np.concatenate(out[1:])  # first block is MDCT delay
+    np.testing.assert_allclose(rec, x, atol=1e-4)

@@ -259,3 +259,73 @@ def test_engine_closed_form_alloc_mode():
         Engine(CodecConfig(alloc_mode="closed_form"), rate_mode="exact")
     with pytest.raises(ValueError):
         Engine(CodecConfig(alloc_mode="bogus"))
+
+
+def test_engine_kbd_window_mode():
+    """KBD-windowed MDCT as an engine mode (round-2 VERDICT #4): encode +
+    decode with window="kbd" round-trips at full quality (KBD is
+    Princen-Bradley), produces a genuinely different stream than sine, and
+    decoding a kbd stream with a sine engine degrades — the format carries
+    no window field, so the mode is a flag-gated extension."""
+    from pactpu.codec.engine import Engine
+
+    rng = np.random.default_rng(21)
+    t = np.arange(5 * 1024 - 64) / 44100.0
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t)
+           + 0.1 * np.sin(2 * np.pi * 2800 * t)
+           + 0.02 * rng.standard_normal(t.shape[0]))
+    pcm = np.clip(np.stack([sig, 0.7 * sig], 1) * 32767,
+                  -32768, 32767).astype(np.int16)
+
+    def snr(a, b):
+        a = a.astype(np.float64); b = b.astype(np.float64)
+        return 10 * np.log10(np.sum(a * a)
+                             / max(np.sum((a - b) ** 2), 1e-30))
+
+    kbd = Engine(CodecConfig(window="kbd"), rate_mode="reservoir")
+    sine = Engine(CodecConfig(), rate_mode="reservoir")
+    blob_kbd = kbd.encode(pcm)
+    blob_sine = sine.encode(pcm)
+    assert blob_kbd != blob_sine
+
+    n = pcm.shape[0]
+    _, out_kbd = kbd.decode(blob_kbd)
+    _, out_sine = sine.decode(blob_sine)
+    s_kbd = snr(pcm[:n, 0], out_kbd[:n, 0])
+    s_sine = snr(pcm[:n, 0], out_sine[:n, 0])
+    # full-quality roundtrip, same quality ballpark as sine (measured:
+    # kbd 10.32 dB vs sine 10.23 dB on this fixture — the absolute level
+    # is set by the bit budget and the Q1 M/S aliasing quirk, not PR)
+    assert s_kbd > 8.0, s_kbd
+    assert s_kbd > s_sine - 1.0, (s_kbd, s_sine)
+
+    # window mismatch on decode: mechanically decodes but measurably
+    # degrades (sine and KBD are similar shapes, so the penalty is mild)
+    _, out_mismatch = sine.decode(blob_kbd)
+    assert snr(pcm[:n, 0], out_mismatch[:n, 0]) < s_kbd - 1.5
+
+    with pytest.raises(ValueError):
+        Engine(CodecConfig(window="kbd"), rate_mode="exact")
+    with pytest.raises(ValueError):
+        Engine(CodecConfig(window="hamming"))
+
+
+def test_streaming_decoder_kbd_window():
+    """StreamingDecoder(window='kbd') matches batch Engine.decode on a
+    kbd stream."""
+    from pactpu.codec.engine import Engine
+    from pactpu.codec.stream import StreamingDecoder
+
+    rng = np.random.default_rng(22)
+    t = np.arange(3 * 1024 + 100) / 44100.0
+    sig = 0.4 * np.sin(2 * np.pi * 520 * t) + 0.02 * rng.standard_normal(
+        t.shape[0])
+    pcm = np.clip(np.stack([sig, sig], 1) * 32767,
+                  -32768, 32767).astype(np.int16)
+    eng = Engine(CodecConfig(window="kbd"), rate_mode="cbr")
+    blob = eng.encode(pcm)
+    _, batch = eng.decode(blob)
+    dec = StreamingDecoder(window="kbd", chunk_blocks=16)
+    parts = [dec.push(blob[:97]), dec.push(blob[97:]), dec.flush()]
+    out = np.concatenate([p for p in parts if p.size], axis=0)
+    np.testing.assert_array_equal(out, batch)
