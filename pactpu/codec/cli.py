@@ -42,6 +42,8 @@ def _engine(args):
         cfg = dataclasses.replace(cfg, peak_mode=args.peak_mode)
     if getattr(args, "window", None):
         cfg = dataclasses.replace(cfg, window=args.window)
+    if getattr(args, "ms_decision", None):
+        cfg = dataclasses.replace(cfg, ms_decision=args.ms_decision)
     precision = "f32"
     if getattr(args, "f64", False):
         # byte-exact reference parity needs float64 analysis; enable x64
@@ -281,6 +283,10 @@ def main(argv=None) -> int:
     enc.add_argument("--window", choices=("sine", "kbd"), default=None,
                      help="MDCT window; kbd is a non-reference extension — "
                           "decode with the same --window")
+    enc.add_argument("--ms-decision", choices=("intensity", "bitalloc"),
+                     default=None, dest="ms_decision",
+                     help="per-band L/R-vs-M/S rule: spectral intensity "
+                          "(reference) or bitalloc-minimization")
     enc.add_argument("--tables", default=None,
                      help="Huffman table set .npz (from `train`)")
     enc.set_defaults(fn=cmd_encode)

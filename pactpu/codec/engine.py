@@ -175,6 +175,21 @@ def analyze_body(cfg: CodecConfig, precision: str = "f32"):
                 consts=consts["psy"], peak_mode=cfg.peak_mode)[:, None]
             return dict(mixed=scaled, smr=smr, lrms=lrms, overall=overall)
 
+        if cfg.ms_decision == "bitalloc":
+            # bitalloc-minimization variant: water-fill all four codings
+            # and pick per band the pair that needs fewer bits (the WAK
+            # paper's second decision rule; round-2 VERDICT #3)
+            smr_lr, smr_ms, ms_lines = psycho.stereo_smr_pair(
+                sw, scaled, overall, fs, layout,
+                consts=consts["psy"], peak_mode=cfg.peak_mode)
+            max_mant = min(1 << cfg.n_mant_size_bits, cfg.max_mant_bits)
+            lrms = ba_ops.lrms_decision_bitalloc(
+                smr_lr, smr_ms, layout.n_lines_array, int(cfg.bit_budget()),
+                max_mant, cfg.ms_stop_threshold_db, cfg.lr_stop_threshold_db)
+            smr, mixed = psycho.select_coding(smr_lr, smr_ms, scaled,
+                                              ms_lines, lrms, layout)
+            return dict(mixed=mixed, smr=smr, lrms=lrms, overall=overall)
+
         lrms = psycho.lrms_decision(frames, layout, cfg.ms_decision_factor)
         smr, mixed = psycho.stereo_smrs(sw, scaled, overall, lrms, fs,
                                         layout, consts=consts["psy"],
@@ -712,6 +727,12 @@ class Engine:
         if self.cfg.window != "sine" and rate_mode == "exact":
             raise ValueError("exact mode reproduces the reference's "
                              "sine-windowed trajectory")
+        if self.cfg.ms_decision not in ("intensity", "bitalloc"):
+            raise ValueError(
+                f"unknown ms_decision {self.cfg.ms_decision!r}")
+        if self.cfg.ms_decision != "intensity" and rate_mode == "exact":
+            raise ValueError("exact mode reproduces the reference's "
+                             "spectral-intensity M/S decisions")
         _dtype(precision)  # validate
         self.rate_mode = rate_mode
         self.fmt = fmt

@@ -104,6 +104,40 @@ def water_fill(total_bits: jax.Array, max_mant_bits: int,
     return bits, total + refund
 
 
+def lrms_decision_bitalloc(smr_lr: jax.Array, smr_ms: jax.Array,
+                           n_lines: jax.Array, bit_budget: int,
+                           max_mant_bits: int, ms_stop: float = -5.0,
+                           lr_stop: float = -15.0) -> jax.Array:
+    """Bitalloc-minimization per-band L/R-vs-M/S decision: choose M/S for a
+    band iff coding the M/S pair there consumes FEWER allocated mantissa
+    bits than coding L/R — the second decision variant named by the WAK
+    paper alongside the spectral-intensity rule (the reference only ships
+    the intensity rule, codec/codec.py:94-102; psycho.lrms_decision here).
+
+    Vectorized through the existing allocation machinery: water-fill all
+    four codings (L, R, M, S) of every block in ONE batched call — each
+    under the flat per-channel budget with its own coding's stop thresholds
+    — then compare per-band bit costs (allocated bits x lines).  Ties go to
+    L/R (strictly-fewer wins), so decorrelated content where M/S buys
+    nothing falls back to plain stereo.
+
+    smr_lr/smr_ms: f32[B, 2, bands].  Returns bool[B, bands].
+    """
+    b, _, n_bands = smr_lr.shape
+    nl = jnp.asarray(n_lines, jnp.int32)
+    smr4 = jnp.concatenate([smr_lr.reshape(b * 2, n_bands),
+                            smr_ms.reshape(b * 2, n_bands)])
+    lrms4 = jnp.concatenate([
+        jnp.zeros((b * 2, n_bands), bool),       # L/R rows: -15 dB stop
+        jnp.ones((b * 2, n_bands), bool)])       # M/S rows:  -5 dB stop
+    total = jnp.full(4 * b, int(bit_budget), jnp.int32)
+    bits, _ = water_fill(total, max_mant_bits, nl, smr4, lrms4,
+                         ms_stop, lr_stop)
+    cost_lr = bits[:2 * b].reshape(b, 2, n_bands).sum(axis=1) * nl[None]
+    cost_ms = bits[2 * b:].reshape(b, 2, n_bands).sum(axis=1) * nl[None]
+    return cost_ms < cost_lr
+
+
 def closed_form_init(bit_budget: jax.Array, max_mant_bits: int,
                      n_lines: jax.Array, smr: jax.Array):
     """Closed-form NMR-flattening allocation (kai's allocator, reference

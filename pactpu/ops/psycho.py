@@ -361,17 +361,19 @@ def calc_smrs(sine_windowed: jax.Array, scaled_lines: jax.Array,
     return band_max(lines_spl - thr, layout, fill=0.0)
 
 
-def stereo_smrs(sine_windowed: jax.Array, scaled_lines: jax.Array,
-                overall_scale: jax.Array, lrms: jax.Array, fs: int, layout,
-                consts=None, peak_mode: str = "ref",
-                return_curves: bool = False):
-    """Stereo SMRs + channel-mixed MDCT lines for a batch of blocks
-    (reference getStereoMaskThreshold, codec/psychoac.py:506-682).
+def stereo_smr_pair(sine_windowed: jax.Array, scaled_lines: jax.Array,
+                    overall_scale: jax.Array, fs: int, layout,
+                    consts=None, peak_mode: str = "ref",
+                    return_curves: bool = False):
+    """Per-band SMRs of BOTH stereo codings for a batch of blocks
+    (reference getStereoMaskThreshold, codec/psychoac.py:506-682, up to —
+    but not including — the per-band L/R-vs-M/S selection).
 
-    sine_windowed: f32[B, 2, N] sine-windowed time blocks;
+    sine_windowed: f32[B, 2, N] analysis-windowed time blocks;
     scaled_lines: f32[B, 2, N/2] MDCT lines scaled by 2^overallScale;
-    overall_scale: i32[B, 2]; lrms: bool[B, bands].
-    Returns (smr f32[B, 2, bands], mixed f32[B, 2, N/2]).
+    overall_scale: i32[B, 2].
+    Returns (smr_lr f32[B, 2, bands], smr_ms f32[B, 2, bands],
+    ms_lines f32[B, 2, N/2][, curves dict]).
 
     Quirk parity: the M/S time blocks are built from hann*sine data and the
     no-drop MLD variants from hann^2*sine data (Q2 window compounding);
@@ -414,18 +416,45 @@ def stereo_smrs(sine_windowed: jax.Array, scaled_lines: jax.Array,
 
     smr_lr = band_max(lr_spl - thr_lr, layout)
     smr_ms = band_max(ms_spl - thr_ms, layout)
+    if return_curves:
+        # per-line diagnostic curves: the numeric analogue of the
+        # reference's block-1 masking plots (psychoac.py:524-658)
+        return smr_lr, smr_ms, ms_lines, dict(
+            bthr=thr, thr_lr=thr_lr, thr_ms=thr_ms,
+            spl_lr=lr_spl, spl_ms=ms_spl, mld=mld,
+            smr_lr=smr_lr, smr_ms=smr_ms)
+    return smr_lr, smr_ms, ms_lines
 
+
+def select_coding(smr_lr: jax.Array, smr_ms: jax.Array,
+                  scaled_lines: jax.Array, ms_lines: jax.Array,
+                  lrms: jax.Array, layout):
+    """Per-band SMR + MDCT-line selection by the LRMS flags (reference
+    codec/psychoac.py:660-682)."""
     lrms_b = lrms[:, None, :]
     smr = jnp.where(lrms_b, smr_ms, smr_lr)
     line_lrms = lrms[:, None, jnp.asarray(layout.line_to_band)]
     mixed = jnp.where(line_lrms, ms_lines, scaled_lines)
+    return smr, mixed
+
+
+def stereo_smrs(sine_windowed: jax.Array, scaled_lines: jax.Array,
+                overall_scale: jax.Array, lrms: jax.Array, fs: int, layout,
+                consts=None, peak_mode: str = "ref",
+                return_curves: bool = False):
+    """Stereo SMRs + channel-mixed MDCT lines for a batch of blocks
+    (reference getStereoMaskThreshold, codec/psychoac.py:506-682):
+    stereo_smr_pair followed by the per-band LRMS selection.
+
+    Returns (smr f32[B, 2, bands], mixed f32[B, 2, N/2][, curves])."""
+    out = stereo_smr_pair(sine_windowed, scaled_lines, overall_scale, fs,
+                          layout, consts=consts, peak_mode=peak_mode,
+                          return_curves=return_curves)
+    smr_lr, smr_ms, ms_lines = out[:3]
+    smr, mixed = select_coding(smr_lr, smr_ms, scaled_lines, ms_lines,
+                               lrms, layout)
     if return_curves:
-        # per-line diagnostic curves: the numeric analogue of the
-        # reference's block-1 masking plots (psychoac.py:524-658)
-        return smr, mixed, dict(
-            bthr=thr, thr_lr=thr_lr, thr_ms=thr_ms,
-            spl_lr=lr_spl, spl_ms=ms_spl, mld=mld,
-            smr_lr=smr_lr, smr_ms=smr_ms)
+        return smr, mixed, out[3]
     return smr, mixed
 
 

@@ -109,6 +109,13 @@ class CodecConfig:
     ms_stop_threshold_db: float = -5.0
     lr_stop_threshold_db: float = -15.0
 
+    # Per-band L/R-vs-M/S decision rule: "intensity" = the reference's
+    # spectral-power rule |sum(L^2-R^2)| < factor * |sum(L^2+R^2)|
+    # (codec/codec.py:94-102); "bitalloc" = bitalloc-minimization — pick
+    # M/S iff coding the pair needs fewer allocated bits (the WAK paper's
+    # second variant; pactpu.ops.bitalloc.lrms_decision_bitalloc).
+    ms_decision: str = "intensity"
+
     # Per-band L/R-vs-M/S decision factor (reference codec/codec.py:102).
     ms_decision_factor: float = 0.8
 

@@ -310,6 +310,81 @@ def test_engine_kbd_window_mode():
         Engine(CodecConfig(window="hamming"))
 
 
+def _ms_fraction(blob):
+    """Fraction of bands coded M/S, parsed from the stream's LRMS flags."""
+    from pactpu import native
+    from pactpu.compat import refcodec as rc
+    cfg, _, off = rc.read_header(blob)
+    parsed = native.unpack_file(
+        blob[off:], np.asarray(cfg.band_layout.n_lines, np.int32),
+        cfg.n_scale_bits, cfg.n_mant_size_bits, cfg.n_table_id_bits,
+        read_lrms=True, n_channels=2)
+    return float(parsed["lrms"].mean())
+
+
+def test_ms_decision_bitalloc_variant():
+    """Bitalloc-minimization M/S decision (round-2 VERDICT #3): beats the
+    spectral-intensity rule on dual-mono content and falls back to mostly
+    L/R on decorrelated content, where intensity overuses M/S (the WAK
+    paper's 'birdies').  Measured on these fixtures: dual-mono 22.44 vs
+    22.14 dB; decorrelated 5.15 vs 3.97 dB with MS-fraction 0.13 vs 0.35."""
+    from pactpu.codec.engine import Engine
+    from pactpu.compat import refcodec as rc
+
+    rng = np.random.default_rng(33)
+    n = 1024 * 6
+    t = np.arange(n) / 44100.0
+
+    def snr(a, b):
+        m = min(len(a), len(b))
+        a, b = a[:m].astype(np.float64), b[:m].astype(np.float64)
+        return 10 * np.log10((a ** 2).sum()
+                             / max(((a - b) ** 2).sum(), 1e-30))
+
+    def encode_both(pcm):
+        out = {}
+        for mode in ("intensity", "bitalloc"):
+            e = Engine(CodecConfig(ms_decision=mode), rate_mode="cbr",
+                       chunk_blocks=16)
+            blob = e.encode(pcm)
+            _, dec = e.decode(blob)
+            s = (snr(pcm[:, 0], dec[:len(pcm), 0])
+                 + snr(pcm[:, 1], dec[:len(pcm), 1])) / 2
+            out[mode] = (s, _ms_fraction(blob), blob)
+        return out
+
+    # dual-mono: M/S halves the information; bitalloc must match or beat
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t)
+           + 0.1 * np.sin(2 * np.pi * 2900 * t)
+           + 0.01 * rng.standard_normal(n))
+    dm = np.clip(np.stack([sig, sig], 1) * 32767,
+                 -32768, 32767).astype(np.int16)
+    r = encode_both(dm)
+    assert r["bitalloc"][0] >= r["intensity"][0] - 0.1
+    assert r["bitalloc"][1] > 0.5          # M/S on the active bands
+
+    # decorrelated equal-power: intensity overuses M/S; bitalloc falls back
+    a = 0.3 * np.sin(2 * np.pi * 500 * t) + 0.2 * rng.standard_normal(n)
+    b = 0.3 * np.sin(2 * np.pi * 710 * t) + 0.2 * rng.standard_normal(n)
+    dc = np.clip(np.stack([a, b], 1) * 32767,
+                 -32768, 32767).astype(np.int16)
+    r = encode_both(dc)
+    assert r["bitalloc"][1] < r["intensity"][1]      # fewer M/S bands
+    assert r["bitalloc"][0] > r["intensity"][0]      # and better quality
+
+    # the format carries the flags, so any decoder reads the stream
+    fs_o, out_o = rc.decode_file(r["bitalloc"][2])
+    fs_e, out_e = Engine(rate_mode="cbr").decode(r["bitalloc"][2])
+    m = min(len(out_o), len(out_e))
+    assert np.abs(out_o[:m].astype(np.int64)
+                  - out_e[:m].astype(np.int64)).max() <= 1
+
+    with pytest.raises(ValueError):
+        Engine(CodecConfig(ms_decision="bitalloc"), rate_mode="exact")
+    with pytest.raises(ValueError):
+        Engine(CodecConfig(ms_decision="bogus"))
+
+
 def test_streaming_decoder_kbd_window():
     """StreamingDecoder(window='kbd') matches batch Engine.decode on a
     kbd stream."""

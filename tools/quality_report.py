@@ -48,7 +48,8 @@ def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
 
 
 def measure_file(path: str, eng: Engine, cfg: CodecConfig,
-                 max_blocks: int = 0, eng_exact: Engine = None) -> dict:
+                 max_blocks: int = 0, eng_exact: Engine = None,
+                 eng_ms: Engine = None) -> dict:
     wav = read_wav(path)
     pcm = wav.samples
     if max_blocks:
@@ -87,6 +88,12 @@ def measure_file(path: str, eng: Engine, cfg: CodecConfig,
         row["exact_bytes"] = len(stream_x)
         row["extras_rms"] = float(np.sqrt(np.mean(
             (extras_two_pass[:m] - extras_exact[:m]) ** 2)))
+    if eng_ms is not None:
+        # bitalloc-minimization M/S decision variant at the same budget
+        stream_m = eng_ms.encode(pcm)
+        _, dec_m = eng_ms.decode(stream_m)
+        row["ms_bitalloc_snr"] = snr_db(pcm.reshape(-1), dec_m.reshape(-1))
+        row["ms_bitalloc_bytes"] = len(stream_m)
     return row
 
 
@@ -99,11 +106,15 @@ def main() -> int:
                     help="limit each file to N blocks (0 = whole file)")
     ap.add_argument("--no-exact", action="store_true",
                     help="skip the exact-trajectory comparison columns")
+    ap.add_argument("--no-ms-variant", action="store_true",
+                    help="skip the bitalloc-minimization M/S column")
     args = ap.parse_args()
 
     cfg = CodecConfig()
     eng = Engine(cfg=cfg, rate_mode="reservoir")
     eng_exact = None if args.no_exact else Engine(cfg=cfg, rate_mode="exact")
+    eng_ms = None if args.no_ms_variant else Engine(
+        cfg=CodecConfig(ms_decision="bitalloc"), rate_mode="reservoir")
     names = args.files or sorted(
         f for f in os.listdir(args.inputs) if f.endswith(".wav"))
 
@@ -111,7 +122,8 @@ def main() -> int:
     for name in names:
         path = os.path.join(args.inputs, name)
         try:
-            row = measure_file(path, eng, cfg, args.max_blocks, eng_exact)
+            row = measure_file(path, eng, cfg, args.max_blocks, eng_exact,
+                               eng_ms)
         except Exception as e:  # keep going; report the failure
             row = dict(name=name, error=str(e))
         rows.append(row)
@@ -137,13 +149,16 @@ def main() -> int:
                 "bar (BASELINE.md).\n\n")
         f.write("| input | engine SNR | oracle SNR | Δ | agree | "
                 "engine bytes | oracle bytes | size ratio | exact bytes | "
-                "extras RMS | speedup |\n")
-        f.write("|---|---|---|---|---|---|---|---|---|---|---|\n")
+                "extras RMS | M/S-bitalloc SNR | speedup |\n")
+        f.write("|---|---|---|---|---|---|---|---|---|---|---|---|\n")
         for r in rows:
             if "error" in r:
                 f.write(f"| {r['name']} | ERROR: {r['error']} "
-                        "| | | | | | | | | |\n")
+                        "| | | | | | | | | | |\n")
                 continue
+            ms = r.get("ms_bitalloc_snr")
+            ms_cell = ("—" if ms is None
+                       else f"{ms:.2f} ({ms - r['engine_snr']:+.2f})")
             f.write(
                 f"| {r['name']} | {r['engine_snr']:.2f} | "
                 f"{r['oracle_snr']:.2f} | "
@@ -153,14 +168,39 @@ def main() -> int:
                 f"{r['engine_bytes']/r['oracle_bytes']:.3f} | "
                 f"{r.get('exact_bytes', '—')} | "
                 f"{r.get('extras_rms', 0.0):.0f} | "
+                f"{ms_cell} | "
                 f"{r['t_oracle']/max(r['t_engine'],1e-9):.1f}x |\n")
         if ok:
             d = np.asarray([r["engine_snr"] - r["oracle_snr"] for r in ok])
             f.write(f"\nMean ΔSNR (engine − oracle): {d.mean():+.2f} dB over "
                     f"{len(ok)} files (min {d.min():+.2f}, "
                     f"max {d.max():+.2f}).\n")
-            f.write(
-                "\n## Why the engine's reservoir-mode streams can be much "
+            ms = np.asarray([r["ms_bitalloc_snr"] - r["engine_snr"]
+                             for r in ok if "ms_bitalloc_snr" in r])
+            if ms.size:
+                f.write(
+                    f"\nM/S-bitalloc decision variant "
+                    f"(`ms_decision=\"bitalloc\"`): mean ΔSNR vs the "
+                    f"intensity rule {ms.mean():+.2f} dB "
+                    f"(min {ms.min():+.2f}, max {ms.max():+.2f}) at the "
+                    f"same budget.  The rule minimizes allocated BITS; on "
+                    f"partially-correlated material it therefore codes "
+                    f"MORE bands M/S than the intensity rule, and the "
+                    f"decoder's Q1 aliasing (L'=R', SURVEY.md §8.1 — "
+                    f"reproduced for format parity) then lowers SNR vs the "
+                    f"original on those bands.  On dual-mono (aliasing-"
+                    f"neutral) and decorrelated content it matches or "
+                    f"beats intensity (tests/test_variants.py::"
+                    f"test_ms_decision_bitalloc_variant).\n")
+        f.write(
+            "\n## Corpus coverage\n\n"
+            "BASELINE.md's north star names \"all 27 inputs\"; the "
+            "reference checkout ships 22 of them — the other 5 WAVs are "
+            "listed in `/root/reference/.MISSING_LARGE_BLOBS` and absent "
+            "from the repository (an environment limit, not a skip).  The "
+            "parity claim above therefore covers all 22 available inputs.\n")
+        f.write(
+            "\n## Why the engine's reservoir-mode streams can be much "
                 "smaller at equal SNR\n\n"
                 "The reference chains each block's unspent allocation into "
                 "the next block's budget without bound "
