@@ -66,13 +66,15 @@ def _measure() -> None:
     dt = time.perf_counter() - t0
     blocks_per_s = total_blocks / dt
 
-    # the production serving path: batch APIs overlap round trips and
-    # transfers across files (reported alongside, not as the headline,
-    # so the headline stays workload-comparable across rounds)
-    eng.decode_many(eng.encode_many(inputs))  # warm
+    # the production serving path: the pipelined roundtrip overlaps every
+    # file's blocking downloads with the other files' device work AND
+    # dispatches each decode before the next encode download (reported
+    # alongside, not as the headline, so the headline stays
+    # workload-comparable across rounds)
+    eng.roundtrip_many(inputs)  # warm
     t0 = time.perf_counter()
     for _ in range(reps):
-        eng.decode_many(eng.encode_many(inputs))
+        eng.roundtrip_many(inputs)
     batch_blocks_per_s = total_blocks / (time.perf_counter() - t0)
 
     # reference-semantics baseline on a short slice (~40 blocks)

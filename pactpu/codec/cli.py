@@ -116,28 +116,42 @@ def cmd_decode(args) -> int:
 
 
 def cmd_roundtrip(args) -> int:
-    """Reference-driver style: IN.wav -> coded .wak -> decoded .wav."""
+    """Reference-driver style: IN.wav -> coded .wak -> decoded .wav.
+    Multiple inputs run through the pipelined Engine.roundtrip_many
+    serving path (files must share sample rate / channel count)."""
     from pactpu.codec.wav import read_wav, write_wav
     eng = _engine(args)
-    base = os.path.splitext(os.path.basename(args.input))[0]
     outdir = args.outdir or "."
     os.makedirs(outdir, exist_ok=True)
-    wav = read_wav(args.input)
-    eng.cfg = dataclasses.replace(eng.cfg, sample_rate=wav.sample_rate,
-                                  n_channels=wav.samples.shape[1])
+    wavs = [read_wav(p) for p in args.inputs]
+    eng.cfg = dataclasses.replace(eng.cfg, sample_rate=wavs[0].sample_rate,
+                                  n_channels=wavs[0].samples.shape[1])
+    for p, w in zip(args.inputs[1:], wavs[1:]):
+        if (w.sample_rate != eng.cfg.sample_rate
+                or w.samples.shape[1] != eng.cfg.n_channels):
+            print(f"{p}: sample rate/channels differ from {args.inputs[0]}",
+                  file=sys.stderr)
+            return 1
 
     t0 = time.time()
-    stream = eng.encode(wav.samples)
-    coded = os.path.join(outdir, base + ".wak")
-    with open(coded, "wb") as f:
-        f.write(stream)
-    fs, pcm = eng.decode(stream)
-    decoded = os.path.join(outdir, base + "_decoded.wav")
-    write_wav(decoded, fs, pcm)
+    if len(wavs) == 1:
+        stream = eng.encode(wavs[0].samples)
+        results, streams = [eng.decode(stream)], [stream]
+    else:
+        results, streams = eng.roundtrip_many(
+            [w.samples for w in wavs], return_streams=True)
     elapsed = time.time() - t0
-    _report_savings(stream, wav.num_samples, eng.cfg, elapsed,
-                    f"{base}: encode+decode")
-    print(f"wrote {coded} and {decoded}")
+    for path, wav, stream, (fs, pcm) in zip(args.inputs, wavs, streams,
+                                            results):
+        base = os.path.splitext(os.path.basename(path))[0]
+        coded = os.path.join(outdir, base + ".wak")
+        with open(coded, "wb") as f:
+            f.write(stream)
+        decoded = os.path.join(outdir, base + "_decoded.wav")
+        write_wav(decoded, fs, pcm)
+        _report_savings(stream, wav.num_samples, eng.cfg, elapsed,
+                        f"{base}: encode+decode")
+        print(f"wrote {coded} and {decoded}")
     return 0
 
 
@@ -302,7 +316,8 @@ def main(argv=None) -> int:
     dec.set_defaults(fn=cmd_decode)
 
     rt = sub.add_parser("roundtrip")
-    rt.add_argument("input")
+    rt.add_argument("inputs", nargs="+", metavar="WAV",
+                    help="input WAVs; >1 uses the pipelined batch path")
     rt.add_argument("--outdir", default=None)
     rt.add_argument("--rate", choices=("cbr", "reservoir", "exact"),
                     default="reservoir")

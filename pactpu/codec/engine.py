@@ -996,6 +996,42 @@ class Engine:
         return [header + self._finish_encode(outs, analyses, extras, b, ch)
                 for header, (outs, b, analyses, extras, ch) in staged]
 
+    def roundtrip_many(self, pcms, return_streams: bool = False):
+        """Fully pipelined many-file encode->decode — the production
+        serving path for roundtrip/transcode workloads (PERF.md: the
+        single-chip bottleneck is the host<->device link's ~25 ms blocking
+        fetches, so the win is overlapping them with other files' device
+        work).
+
+        Schedule: every file's encode pipeline is dispatched up front
+        (async); then file k's payload download (blocking) runs while
+        files k+1..n compute their encodes on device, and file k's decode
+        dispatch (uploads + synthesis compute) overlaps file k+1's payload
+        download; finally the PCM downloads drain in order.  Unlike
+        `decode_many(encode_many(...))`, no decode waits for ALL encodes
+        to finish downloading.
+
+        Returns [(sample_rate, pcm), ...]; with return_streams=True,
+        ([(fs, pcm), ...], [stream bytes, ...]).  Device memory holds every
+        staged file (see encode_many); results are byte/sample-identical
+        to serial encode()/decode() calls."""
+        if self.fmt == "pac":
+            streams = [self.encode(p) for p in pcms]
+            results = [self.decode(s) for s in streams]
+            return (results, streams) if return_streams else results
+        staged = []
+        for pcm in pcms:
+            header, _ = rc.write_header(self.cfg, pcm.shape[0])
+            staged.append((header, self._encode_chunks(pcm)))
+        streams, dec_staged = [], []
+        for header, (outs, b, analyses, extras, chunk) in staged:
+            stream = header + self._finish_encode(outs, analyses, extras,
+                                                  b, chunk)
+            streams.append(stream)
+            dec_staged.append(self._decode_dispatch(stream))
+        results = [self._decode_finish(*s) for s in dec_staged]
+        return (results, streams) if return_streams else results
+
     def _finish_encode(self, outs, analyses, extras_chunks, b: int,
                        chunk: int) -> bytes:
         """Blocking half of a wak encode: payload download + assembly."""

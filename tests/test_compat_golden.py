@@ -36,6 +36,38 @@ def test_encode_byte_exact_vs_golden_wak(piano_wak):
 
 
 @requires_reference
+def test_with_huffman_decodable_streams():
+    """Provenance of coded/withHuffman/ (round-3 investigation, QUALITY.md
+    'Golden artifact provenance'): three of its streams remain decodable
+    with the shipped tables, and outputs/<name>.wav is THEIR decode —
+    pinned here sample-exact for piano_test1."""
+    with open(f"{REFERENCE}/coded/withHuffman/piano_test1.wak", "rb") as f:
+        blob = f.read()
+    fs, pcm = rc.decode_file(blob)
+    gold = read_wav(f"{REFERENCE}/outputs/piano_test1.wav")
+    assert fs == gold.sample_rate
+    np.testing.assert_array_equal(pcm, gold.samples)
+    # speech_test3 is byte-identical across the two golden families
+    with open(f"{REFERENCE}/coded/withHuffman/speech_test3.wak", "rb") as a:
+        with open(f"{REFERENCE}/coded/speech_test3.wak", "rb") as b:
+            assert a.read() == b.read()
+
+
+@requires_reference
+def test_with_huffman_incompatible_streams_fail_cleanly():
+    """The six withHuffman streams encoded with the (unrecoverable) older
+    table state use codewords absent from the shipped tables: every decode
+    path must reject them with ValueError, not crash."""
+    from pactpu.codec.engine import Engine
+    with open(f"{REFERENCE}/coded/withHuffman/rock.wak", "rb") as f:
+        blob = f.read()
+    with pytest.raises(ValueError):
+        Engine(rate_mode="reservoir").decode(blob)
+    with pytest.raises(ValueError):
+        rc.decode_file(blob)
+
+
+@requires_reference
 def test_header_roundtrip(piano_wak):
     cfg, num_samples, off = rc.read_header(piano_wak)
     assert cfg.sample_rate == 44100

@@ -109,3 +109,9 @@ def test_encode_many_decode_many_match_serial():
     for (fs_a, a), (fs_b, bb) in zip(dec_serial, dec_batch):
         assert fs_a == fs_b
         np.testing.assert_array_equal(a, bb)
+    # the pipelined roundtrip path: same bytes, same samples
+    results, streams = eng.roundtrip_many(files, return_streams=True)
+    assert streams == serial
+    for (fs_a, a), (fs_b, bb) in zip(dec_serial, results):
+        assert fs_a == fs_b
+        np.testing.assert_array_equal(a, bb)

@@ -70,6 +70,25 @@ def run(reps: int, inputs: list) -> dict:
                 payload_bytes=payload_bytes)
 
 
+def run_pipelined(reps: int, inputs: list) -> dict:
+    """The production serving path: Engine.roundtrip_many overlaps each
+    file's blocking downloads with the other files' device work and
+    dispatches decode k before encode k+1's download."""
+    from pactpu.codec.engine import Engine
+
+    eng = Engine(rate_mode="reservoir")
+    eng.roundtrip_many(inputs)     # warmup / compile
+    half = eng.cfg.n_mdct_lines
+    blocks_per_rep = sum((-(-p.shape[0] // half) + 1) for p in inputs)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        eng.roundtrip_many(inputs)
+    wall = time.perf_counter() - t0
+    blocks = blocks_per_rep * reps
+    return dict(wall_s=round(wall, 3), blocks=blocks,
+                blocks_per_s=round(blocks / wall, 1))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="PERF.md")
@@ -91,6 +110,7 @@ def main() -> int:
     backend = jax.devices()[0].platform
     link = measure_link()
     res = run(args.reps, inputs)
+    piped = run_pipelined(args.reps, inputs)
 
     rep = res["report"]
     total_staged = sum(v["total_s"] for v in rep.values())
@@ -105,6 +125,13 @@ def main() -> int:
         f"(wall {res['wall_s']} s; staged time {total_staged:.2f} s; "
         "the remainder is un-staged host work: header/framing, python "
         "glue).",
+        "",
+        f"**Pipelined serving path (Engine.roundtrip_many): "
+        f"{piped['blocks_per_s']} blocks/s** "
+        f"({100 * piped['blocks_per_s'] / res['blocks_per_s'] - 100:+.0f}% "
+        "vs serial) — every file's encode dispatched up front, each "
+        "decode dispatched before the next file's payload download "
+        "blocks.",
         "",
         f"Link calibration: upload {link['upload_mb_s']} MB/s, "
         f"download {link['download_mb_s']} MB/s.",
@@ -126,8 +153,9 @@ def main() -> int:
     with open(args.out, "w") as f:
         f.write(text)
     print(text)
-    print(json.dumps(dict(link=link, **{k: v for k, v in res.items()
-                                        if k != "report"})))
+    print(json.dumps(dict(link=link, pipelined=piped,
+                          **{k: v for k, v in res.items()
+                             if k != "report"})))
     return 0
 
 

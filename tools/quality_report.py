@@ -193,6 +193,39 @@ def main() -> int:
                     f"beats intensity (tests/test_variants.py::"
                     f"test_ms_decision_bitalloc_variant).\n")
         f.write(
+            "\n## Golden artifact provenance (`coded/` vs "
+            "`coded/withHuffman/`)\n\n"
+            "Investigated round 3 (VERDICT #5).  The two golden families "
+            "come from different encoder states of the reference repo:\n\n"
+            "- **`coded/*.wak` is the current master state.**  The oracle "
+            "byte-reproduces `coded/piano_test2.wak` from "
+            "`inputs/piano_test2.wav`, and `outputs/<name>.wav` equals the "
+            "decode of the top-level `coded/<name>.wak` (verified "
+            "sample-exact via the oracle; ±1 LSB via the f32 engine) — "
+            "e.g. percussion_test1, speech_test2, piano_test2.\n"
+            "- **`coded/withHuffman/*.wak` predates the shipped "
+            "`huffmanTables.pickle`.**  Three of its 18 streams "
+            "(piano_test1, rock_test3, speech_test3 — the last "
+            "byte-identical to its top-level copy) still decode with the "
+            "shipped tables, and for exactly those three, "
+            "`outputs/<name>.wav` is their decode (oracle decode of "
+            "withHuffman/piano_test1.wak == outputs/piano_test1.wav, "
+            "0 differing samples).  Six (pop_test1/2/3, rock, rock_test2, "
+            "speech_test1) use codewords absent from the shipped tables "
+            "and now fail with a clean ValueError on every decode path.  "
+            "The remaining nine decode to real audio (decode-vs-input SNR "
+            "2.5-14 dB, the normal operating range) but differ from the "
+            "current outputs — older encodes whose symbol sets happen to "
+            "remain prefix-valid.\n"
+            "- **The older table state is unrecoverable**: "
+            "`codec/histograms.pickle` contains ten EMPTY Histogram "
+            "objects (unpickled and checked — every frequency queue is "
+            "empty), so no alternative tables can be trained from "
+            "shipped data.  The discrepancy is reference-repo artifact "
+            "versioning, not a decoder gap; "
+            "tests/test_compat_golden.py pins the three decodable "
+            "streams and the clean failure of the incompatible ones.\n")
+        f.write(
             "\n## Corpus coverage\n\n"
             "BASELINE.md's north star names \"all 27 inputs\"; the "
             "reference checkout ships 22 of them — the other 5 WAVs are "
