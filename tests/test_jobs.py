@@ -1,0 +1,144 @@
+"""Failure detection + elastic recovery harness (pactpu.parallel.jobs).
+
+The reference has no failure handling (SURVEY.md §5); the harness must
+detect segment failures (exceptions, watchdog timeouts), restore from the
+last good checkpoint on a FRESH engine, re-queue exactly the failed block
+range, and still produce byte-identical output to an unfailed run.
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+from pactpu.codec.engine import Engine
+from pactpu.parallel import jobs
+from pactpu.utils.config import CodecConfig
+
+
+def _pcm(n, seed=0, chans=2):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 44100.0
+    sig = (0.4 * np.sin(2 * np.pi * 480 * t)
+           + 0.05 * rng.standard_normal(n))
+    cols = [sig] + [0.7 * sig] * (chans - 1)
+    return np.clip(np.stack(cols, 1) * 32767, -32768, 32767).astype(np.int16)
+
+
+@pytest.fixture(scope="module")
+def ref_streams():
+    """Unfailed ground truth via the batch engine."""
+    files = {f"f{k}": _pcm(1024 * 7 - 100 * k, seed=k) for k in range(2)}
+    eng = Engine(rate_mode="reservoir")
+    return files, {n: eng.encode(p) for n, p in files.items()}
+
+
+def test_jobs_no_faults_match_batch_engine(ref_streams):
+    files, streams = ref_streams
+    res = jobs.run_encode_jobs(files.items(), segment_blocks=3)
+    assert all(r.ok and r.retries == 0 for r in res)
+    for r in res:
+        assert r.stream == streams[r.name]
+
+
+def test_injected_faults_are_absorbed_byte_identically(ref_streams):
+    """Deterministic faults on several segments: the harness retries from
+    checkpoints and the output bytes are unchanged."""
+    files, streams = ref_streams
+    hits = []
+
+    def hook(name, seg, attempt):
+        # fail the first attempt of segments 1 and 2 of f0, segment 0 of f1
+        if attempt == 0 and ((name == "f0" and seg in (1, 2))
+                             or (name == "f1" and seg == 0)):
+            hits.append((name, seg))
+            raise RuntimeError("injected device fault")
+
+    res = jobs.run_encode_jobs(files.items(), segment_blocks=3,
+                               max_retries=2, fault_hook=hook)
+    assert len(hits) == 3
+    by_name = {r.name: r for r in res}
+    assert by_name["f0"].ok and by_name["f0"].retries == 2
+    assert by_name["f0"].failed_segments == [1, 2]
+    assert by_name["f1"].ok and by_name["f1"].retries == 1
+    for r in res:
+        assert r.stream == streams[r.name]
+
+
+def test_exhausted_retries_fail_resumably(ref_streams):
+    """A segment that keeps failing marks the job failed with its last
+    good checkpoint; resume_encode_job finishes it byte-identically
+    without redoing completed segments."""
+    files, streams = ref_streams
+    pcm = files["f0"]
+
+    def always_fail_seg1(name, seg, attempt):
+        if seg == 1:
+            raise RuntimeError("persistent fault")
+
+    res = jobs.run_encode_jobs([("f0", pcm)], segment_blocks=3,
+                               max_retries=1, fault_hook=always_fail_seg1)
+    (r,) = res
+    assert not r.ok and "persistent fault" in r.error
+    assert r.checkpoint is not None
+    assert r.resume_offset == 3 * 1024          # segment 1 starts here
+    assert r.failed_segments == [1, 1]
+
+    pushed = []
+
+    def count_segments(name, seg, attempt):
+        pushed.append(seg)
+
+    r2 = jobs.resume_encode_job(r, pcm, segment_blocks=3,
+                                fault_hook=count_segments)
+    assert r2.ok
+    assert min(pushed) == 1                     # segment 0 NOT redone
+    assert r2.stream == streams["f0"]
+    assert r2.retries == r.retries              # history carried
+
+
+def test_watchdog_times_out_hung_segment(ref_streams, monkeypatch):
+    """A hung device call (wedged tunnel) trips the wall-clock watchdog;
+    the retry runs on a fresh engine and completes byte-identically."""
+    from pactpu.codec import stream as stream_mod
+    files, streams = ref_streams
+    pcm = files["f1"]
+    real_push = stream_mod.StreamingEncoder.push
+    state = {"armed": True}
+
+    def slow_push(self, data):
+        if state["armed"]:
+            state["armed"] = False
+            time.sleep(3.0)                     # simulated wedge
+        return real_push(self, data)
+
+    monkeypatch.setattr(stream_mod.StreamingEncoder, "push", slow_push)
+    res = jobs.run_encode_jobs([("f1", pcm)], segment_blocks=4,
+                               max_retries=2, timeout_s=1.0)
+    (r,) = res
+    assert r.ok and r.retries == 1
+    assert "f1" == r.name
+    assert r.stream == streams["f1"]
+
+
+def test_decode_jobs_retry_and_fail_cleanly(ref_streams):
+    files, streams = ref_streams
+    eng = Engine(rate_mode="reservoir")
+    flaky = {"n": 0}
+
+    def hook(name, seg, attempt):
+        if name == "f0" and attempt == 0:
+            flaky["n"] += 1
+            raise RuntimeError("transient decode fault")
+
+    good = jobs.run_decode_jobs(streams.items(), fault_hook=hook)
+    assert flaky["n"] == 1
+    for r in good:
+        assert r.ok
+        fs, want = eng.decode(streams[r.name])
+        assert r.sample_rate == fs
+        np.testing.assert_array_equal(r.pcm, want)
+
+    bad = jobs.run_decode_jobs([("x", b"PAC garbage stream")],
+                               max_retries=1)
+    assert not bad[0].ok and bad[0].error
