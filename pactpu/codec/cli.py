@@ -44,6 +44,8 @@ def _engine(args):
         cfg = dataclasses.replace(cfg, window=args.window)
     if getattr(args, "ms_decision", None):
         cfg = dataclasses.replace(cfg, ms_decision=args.ms_decision)
+    if getattr(args, "alloc_mode", None):
+        cfg = dataclasses.replace(cfg, alloc_mode=args.alloc_mode)
     precision = "f32"
     if getattr(args, "f64", False):
         # byte-exact reference parity needs float64 analysis; enable x64
@@ -301,6 +303,10 @@ def main(argv=None) -> int:
                      default=None, dest="ms_decision",
                      help="per-band L/R-vs-M/S rule: spectral intensity "
                           "(reference) or bitalloc-minimization")
+    enc.add_argument("--alloc-mode", choices=("water_fill", "closed_form"),
+                     default=None, dest="alloc_mode",
+                     help="mantissa-bit allocator: reference water-filling "
+                          "or kai's closed-form variant")
     enc.add_argument("--tables", default=None,
                      help="Huffman table set .npz (from `train`)")
     enc.set_defaults(fn=cmd_encode)
