@@ -183,14 +183,15 @@ def main() -> int:
                     f"(`ms_decision=\"bitalloc\"`): mean ΔSNR vs the "
                     f"intensity rule {ms.mean():+.2f} dB "
                     f"(min {ms.min():+.2f}, max {ms.max():+.2f}) at the "
-                    f"same budget.  The rule minimizes allocated BITS; on "
-                    f"partially-correlated material it therefore codes "
-                    f"MORE bands M/S than the intensity rule, and the "
-                    f"decoder's Q1 aliasing (L'=R', SURVEY.md §8.1 — "
-                    f"reproduced for format parity) then lowers SNR vs the "
-                    f"original on those bands.  On dual-mono (aliasing-"
-                    f"neutral) and decorrelated content it matches or "
-                    f"beats intensity (tests/test_variants.py::"
+                    f"same budget.  Measured corpus-wide it WINS on most "
+                    f"material (rock/pop/speech/german gain 4-12 dB: "
+                    f"minimizing per-band bits frees budget for the bands "
+                    f"that need it); it loses on strongly tonal piano/"
+                    f"trumpet files, where the extra M/S bands it picks "
+                    f"are punished by the decoder's Q1 aliasing (L'=R', "
+                    f"SURVEY.md §8.1 — reproduced for format parity).  "
+                    f"Synthetic fixtures isolate the mechanism "
+                    f"(tests/test_variants.py::"
                     f"test_ms_decision_bitalloc_variant).\n")
         f.write(
             "\n## Golden artifact provenance (`coded/` vs "
