@@ -592,27 +592,30 @@ class DebugCheckError(RuntimeError):
     TPU where debug_nans would disable compiler optimizations)."""
 
 
-def _debug_check_encode(analyses, outs, max_mant: int, chunk: int) -> None:
+def _debug_check_encode(analyses, outs, max_mant: int, sizes) -> None:
     """Validate device encode outputs chunk by chunk; raises
     DebugCheckError naming the first offending chunk/block."""
+    offs = [0]
+    for s in sizes:
+        offs.append(offs[-1] + s)
     for k, a in enumerate(analyses):
         smr = np.asarray(a["smr"])
         if not np.isfinite(smr).all():
             blk = int(np.argwhere(~np.isfinite(smr))[0][0])
             raise DebugCheckError(
-                f"non-finite SMR in chunk {k}, block {k * chunk + blk}")
+                f"non-finite SMR in chunk {k}, block {offs[k] + blk}")
     for k, o in enumerate(outs):
         bits = np.asarray(o["bits"])
         if bits.min(initial=0) < 0 or bits.max(initial=0) > max_mant:
             blk = int(np.argwhere((bits < 0) | (bits > max_mant))[0][0])
             raise DebugCheckError(
                 f"allocation out of [0, {max_mant}] in chunk {k}, "
-                f"block {k * chunk + blk}")
+                f"block {offs[k] + blk}")
         if (bits == 1).any():
             blk = int(np.argwhere(bits == 1)[0][0])
             raise DebugCheckError(
                 f"1-bit allocation escaped the refund (Q12) in chunk {k}, "
-                f"block {k * chunk + blk}")
+                f"block {offs[k] + blk}")
 
 
 def _pad_blocks(b: int, cap: int = DEFAULT_CHUNK_BLOCKS) -> int:
@@ -622,6 +625,44 @@ def _pad_blocks(b: int, cap: int = DEFAULT_CHUNK_BLOCKS) -> int:
     while n < b and n < cap:
         n <<= 1
     return min(n, cap)
+
+
+def _prefetch_host_copies(arrays) -> None:
+    """Start async device->host copies for a batch of arrays (jax.Array
+    .copy_to_host_async) so later blocking np.asarray calls pipeline their
+    transfers back to back instead of paying a link round trip each.
+    Best-effort: backends without the PJRT async-copy hook just fall back
+    to the synchronous fetch."""
+    for a in arrays:
+        if a is None:
+            continue
+        try:
+            a.copy_to_host_async()
+        except Exception:  # noqa: BLE001 — plugin-dependent, optional
+            return
+
+
+_TAIL_BUCKETS = (16, 32, 64, 96, 128, 192, 256, 384, 512)
+
+
+def _chunk_sizes(b: int, chunk: int) -> list:
+    """Per-chunk block counts for a b-block file: full `chunk`-sized
+    chunks plus a bucketed tail (next size from _TAIL_BUCKETS, capped at
+    `chunk`).
+
+    The tail bucket keeps padded blocks off the host<->device link — with
+    uniform 512-block chunks a 618-block file ships 1024 blocks of PCM
+    upload, dense-payload download and code upload (the link is the
+    single-chip bottleneck, PERF.md); with a 128-block tail it ships 640.
+    Buckets bound the number of compiled program sizes, and the persistent
+    compile cache amortizes them across files."""
+    full = b // chunk
+    sizes = [chunk] * full
+    tail = b - full * chunk
+    if tail:
+        sizes.append(min(next((s for s in _TAIL_BUCKETS if s >= tail),
+                              chunk), chunk))
+    return sizes
 
 
 @lru_cache(maxsize=16)
@@ -854,8 +895,11 @@ class Engine:
         """Upload each chunk's PCM once, run pass 1 (and the reservoir
         pass 2) with all dispatches enqueued asynchronously, and return
         (per-chunk device output dicts, n_blocks, device pcm chunks,
-        extras, chunk) — callers download only the arrays they need (the
-        whole point on a bandwidth-limited tunnel)."""
+        extras, per-chunk sizes, staged dense payload) — callers download
+        only the arrays they need (the whole point on a bandwidth-limited
+        tunnel).  The last chunk is tail-bucketed (_chunk_sizes) so padded
+        blocks never ride the link, and the dense payload download buffer
+        is staged here so batch callers can start its host copy early."""
         cfg = self.cfg
         half = cfg.n_mdct_lines
         if pcm.ndim != 2 or pcm.shape[1] != cfg.n_channels:
@@ -864,7 +908,11 @@ class Engine:
         n_blocks = -(-pcm.shape[0] // half)
         b = n_blocks + 1                      # + flush block
         chunk = self._chunk(b)
-        b_pad = -(-b // chunk) * chunk
+        sizes = _chunk_sizes(b, chunk)
+        offs = [0]
+        for s in sizes:
+            offs.append(offs[-1] + s)
+        b_pad = offs[-1]
         self._savings_dev = self._measure_dev = self._extras_dev = None
         self._savings_np = self._measure_np = self._extras_np = None
         self._last_b = b
@@ -874,8 +922,8 @@ class Engine:
             n = min(pcm.shape[0], b_pad * half)
             glob[:, half:half + n] = pcm[:n].T
             dev = [jnp.asarray(np.ascontiguousarray(
-                       glob[:, i * half:(i + chunk + 1) * half]))
-                   for i in range(0, b_pad, chunk)]
+                       glob[:, offs[k] * half:(offs[k + 1] + 1) * half]))
+                   for k in range(len(sizes))]
 
         consts = self.consts()
 
@@ -889,8 +937,7 @@ class Engine:
         with self._stage("encode/analyze-dispatch"):
             analyses = [analyze(d, consts) for d in dev]
 
-        zeros = jnp.zeros(chunk, jnp.float32)
-        extras_chunks = [zeros] * len(analyses)
+        extras_chunks = [jnp.zeros(s, jnp.float32) for s in sizes]
         if self.rate_mode == "reservoir":
             # pass 1: measurement-only program (payload serialization
             # DCE'd), chained into the device reservoir scan — zero host
@@ -903,8 +950,9 @@ class Engine:
                 carry = jnp.zeros(2, jnp.int32)
                 extras_chunks, m_outs = [], []
                 for k, a in enumerate(analyses):
-                    m = measure(a, zeros, consts)
-                    valid = jnp.arange(chunk) < max(0, b - k * chunk)
+                    m = measure(a, jnp.zeros(sizes[k], jnp.float32),
+                                consts)
+                    valid = jnp.arange(sizes[k]) < max(0, b - offs[k])
                     ex, carry = scan(m["savings"], m["leftover"], valid,
                                      carry)
                     extras_chunks.append(ex)
@@ -916,15 +964,24 @@ class Engine:
             from pactpu.codec import exact
             with self._stage("encode/exact-extras"):
                 extras_chunks, _ = exact.exact_extras_chunked(
-                    analyses, consts, cfg, self.precision, chunk, b)
+                    analyses, consts, cfg, self.precision, b)
         with self._stage("encode/finalize-dispatch"):
             outs = [finalize(a, ex, consts)
                     for a, ex in zip(analyses, extras_chunks)]
         if self.debug_checks:
             max_mant = min(1 << cfg.n_mant_size_bits, cfg.max_mant_bits)
-            _debug_check_encode(analyses, outs, max_mant, chunk)
+            _debug_check_encode(analyses, outs, max_mant, sizes)
         self._extras_dev = extras_chunks
-        return outs, b, analyses, extras_chunks, chunk
+        # stage the dense payload download buffer (payload words compacted
+        # to their actual sizes + nbits, ONE fetch per file) so batch
+        # callers can start its device->host copy before they block
+        dense_dev = None
+        if outs and "words" in outs[0] and native.available():
+            cap = b_pad * cfg.n_channels * PACK_DENSE_WORDS
+            dense_dev = pack_ops.compact_rows(
+                jnp.concatenate([o["words"] for o in outs]),
+                jnp.concatenate([o["nbits"] for o in outs]), cap)
+        return outs, b, analyses, extras_chunks, sizes, dense_dev
 
     def _chunk_payload(self, out, analysis, extra_chunk: np.ndarray,
                        n_blocks: int) -> bytes:
@@ -950,7 +1007,7 @@ class Engine:
 
     def encode_arrays(self, pcm: np.ndarray):
         """pcm: int16 [n, 2] -> (host outputs dict, n_blocks)."""
-        outs, b, _, _, _ = self._encode_chunks(pcm)
+        outs, b, _, _, _, _ = self._encode_chunks(pcm)
         out = {k: np.concatenate([np.asarray(o[k]) for o in outs])
                for k in outs[0]}
         return out, b
@@ -975,9 +1032,10 @@ class Engine:
                 n_channels=c)
             return header + payload
 
-        outs, b, analyses, extras_chunks, chunk = self._encode_chunks(pcm)
+        outs, b, analyses, extras_chunks, sizes, dense = \
+            self._encode_chunks(pcm)
         return header + self._finish_encode(outs, analyses, extras_chunks,
-                                            b, chunk)
+                                            b, sizes, dense)
 
     def encode_many(self, pcms) -> list:
         """Throughput-oriented batch encode: every file's device pipeline
@@ -993,8 +1051,11 @@ class Engine:
         for pcm in pcms:
             header, _ = rc.write_header(self.cfg, pcm.shape[0])
             staged.append((header, self._encode_chunks(pcm)))
-        return [header + self._finish_encode(outs, analyses, extras, b, ch)
-                for header, (outs, b, analyses, extras, ch) in staged]
+        _prefetch_host_copies(st[5] for _, st in staged)
+        return [header
+                + self._finish_encode(outs, analyses, extras, b, sz, dense)
+                for header, (outs, b, analyses, extras, sz, dense)
+                in staged]
 
     def roundtrip_many(self, pcms, return_streams: bool = False):
         """Fully pipelined many-file encode->decode — the production
@@ -1023,26 +1084,32 @@ class Engine:
         for pcm in pcms:
             header, _ = rc.write_header(self.cfg, pcm.shape[0])
             staged.append((header, self._encode_chunks(pcm)))
+        # start the payload device->host copies for EVERY file before the
+        # first blocking fetch: the link pipelines transfers back to back
+        # instead of paying a round trip between files
+        _prefetch_host_copies(st[5] for _, st in staged)
         streams, dec_staged = [], []
-        for header, (outs, b, analyses, extras, chunk) in staged:
+        for header, (outs, b, analyses, extras, sz, dense) in staged:
             stream = header + self._finish_encode(outs, analyses, extras,
-                                                  b, chunk)
+                                                  b, sz, dense)
             streams.append(stream)
             dec_staged.append(self._decode_dispatch(stream))
+        # same for the decoded-PCM buffers
+        _prefetch_host_copies(s[-1] for s in dec_staged)
         results = [self._decode_finish(*s) for s in dec_staged]
         return (results, streams) if return_streams else results
 
     def _finish_encode(self, outs, analyses, extras_chunks, b: int,
-                       chunk: int) -> bytes:
+                       sizes, dense_dev=None) -> bytes:
         """Blocking half of a wak encode: payload download + assembly."""
         parts = []
         if outs and "words" in outs[0]:
             parts.append(self._payload_device_packed(
-                outs, analyses, extras_chunks, b, chunk))
+                outs, analyses, extras_chunks, b, sizes, dense_dev))
         else:
             done = 0
-            for o, a, ex in zip(outs, analyses, extras_chunks):
-                nb = min(chunk, b - done)
+            for o, a, ex, sz in zip(outs, analyses, extras_chunks, sizes):
+                nb = min(sz, b - done)
                 if nb <= 0:
                     break
                 with self._stage("encode/payload-download+assemble"):
@@ -1055,7 +1122,7 @@ class Engine:
         return b"".join(parts)
 
     def _payload_device_packed(self, outs, analyses, extras_chunks,
-                               b: int, chunk: int) -> bytes:
+                               b: int, sizes, dense_dev=None) -> bytes:
         """Assemble the payload from device-packed word rows with ONE
         blocking download for the whole file — the ~25 ms/fetch tunnel
         round trip, not bandwidth, is the single-chip bottleneck (PERF.md).
@@ -1070,15 +1137,20 @@ class Engine:
         + python framing."""
         c = self.cfg.n_channels
         width = outs[0]["words"].shape[1]
-        rows_all = len(outs) * chunk * c
+        row_offs = [0]
+        for s in sizes:
+            row_offs.append(row_offs[-1] + s * c)
+        rows_all = row_offs[-1]
         words_all = None                   # padded rows (fallback only)
         use_dense = native.available()
         with self._stage("encode/words-download"):
             if use_dense:
                 cap = rows_all * PACK_DENSE_WORDS
-                dn = np.asarray(pack_ops.compact_rows(
-                    jnp.concatenate([o["words"] for o in outs]),
-                    jnp.concatenate([o["nbits"] for o in outs]), cap))
+                if dense_dev is None:
+                    dense_dev = pack_ops.compact_rows(
+                        jnp.concatenate([o["words"] for o in outs]),
+                        jnp.concatenate([o["nbits"] for o in outs]), cap)
+                dn = np.asarray(dense_dev)
                 nbits_all = dn[cap:].astype(np.int32)
                 counts = np.minimum((nbits_all + 31) // 32, width)
                 offsets = np.concatenate(
@@ -1098,10 +1170,10 @@ class Engine:
         parts = []
         done = 0
         for k, (a, ex) in enumerate(zip(analyses, extras_chunks)):
-            nb = min(chunk, b - done)
+            nb = min(sizes[k], b - done)
             if nb <= 0:
                 break
-            rows = slice(k * chunk * c, k * chunk * c + c * nb)
+            rows = slice(row_offs[k], row_offs[k] + c * nb)
             nb_rows = nbits_all[rows]
             need = -(-int(nb_rows.max(initial=0)) // 32)
             with self._stage("encode/payload-assemble"):
@@ -1190,6 +1262,7 @@ class Engine:
         """Throughput-oriented batch decode: parse/upload/dispatch every
         stream before any PCM download blocks (see encode_many)."""
         staged = [self._decode_dispatch(d) for d in datas]
+        _prefetch_host_copies(s[-1] for s in staged)
         return [self._decode_finish(*s) for s in staged]
 
     def _decode_dispatch(self, data: bytes):
@@ -1214,7 +1287,11 @@ class Engine:
                 n_channels=c, tables=self.tables)
         b = parsed["n_cblocks"] // c
         chunk = self._chunk(b)
-        b_pad = -(-b // chunk) * chunk
+        sizes = _chunk_sizes(b, chunk)
+        offs = [0]
+        for s in sizes:
+            offs.append(offs[-1] + s)
+        b_pad = offs[-1]
 
         def d2(a, pad_value=0):
             a = a.reshape(b, c, *a.shape[1:])
@@ -1252,42 +1329,47 @@ class Engine:
                     parsed["mant"], parsed["ba"],
                     np.asarray(cfg.band_layout.n_lines, np.int32), n_words)
                 counts = np.minimum((rowbits + 31) // 32, n_words)
-                rpc = chunk * c                 # rows per chunk
-                cap = rpc * PACK_DENSE_WORDS
                 col = np.arange(n_words)[None, :]
                 mant_chunks = []
-                for i in range(0, b_pad * c, rpc):
+                for k, sz in enumerate(sizes):
+                    rpc = sz * c                # rows in this chunk
+                    i = offs[k] * c
+                    cap_k = rpc * PACK_DENSE_WORDS
                     cc = counts[i:i + rpc]
-                    if int(cc.sum()) > cap:
+                    if int(cc.sum()) > cap_k:
                         mant_chunks = None      # dense overflow: padded rows
                         break
                     flat = rows_pad[i:i + rpc][col < cc[:, None]]
                     mant_chunks.append(np.pad(
                         np.ascontiguousarray(flat, np.uint32),
-                        (0, cap - flat.shape[0])))
+                        (0, cap_k - flat.shape[0])))
             if mant_chunks is not None:
-                run = _chunk_decode_flat_fn(cfg, cap, n_words,
-                                            self.precision)
+                runs = [_chunk_decode_flat_fn(
+                            cfg, sz * c * PACK_DENSE_WORDS, n_words,
+                            self.precision) for sz in sizes]
             else:
                 mant = d2(rows_pad.reshape(b, c, n_words))
-                mant_chunks = [mant[i:i + chunk]
-                               for i in range(0, b_pad, chunk)]
-                run = _chunk_decode_packed_fn(cfg, n_words, self.precision)
+                mant_chunks = [mant[offs[k]:offs[k] + sz]
+                               for k, sz in enumerate(sizes)]
+                runs = [_chunk_decode_packed_fn(cfg, n_words,
+                                                self.precision)] * len(sizes)
         else:
             mant = d2(parsed["mant"]).astype(np.uint16)
-            mant_chunks = [mant[i:i + chunk] for i in range(0, b_pad, chunk)]
-            run = _chunk_decode_fn(cfg, self.precision)
+            mant_chunks = [mant[offs[k]:offs[k] + sz]
+                           for k, sz in enumerate(sizes)]
+            runs = [_chunk_decode_fn(cfg, self.precision)] * len(sizes)
 
         pcm_chunks = []
         carry = jnp.zeros((c, half), _dtype(self.precision))
         with self._stage("decode/upload+dispatch"):
-            for k, i in enumerate(range(0, b_pad, chunk)):
-                pcm16, carry = run(
-                    jnp.asarray(ba[i:i + chunk]),
-                    jnp.asarray(sf[i:i + chunk]),
+            for k, sz in enumerate(sizes):
+                i, j = offs[k], offs[k] + sz
+                pcm16, carry = runs[k](
+                    jnp.asarray(ba[i:j]),
+                    jnp.asarray(sf[i:j]),
                     jnp.asarray(mant_chunks[k]),
-                    jnp.asarray(overall[i:i + chunk]),
-                    jnp.asarray(lrms[i:i + chunk]), carry, consts)
+                    jnp.asarray(overall[i:j]),
+                    jnp.asarray(lrms[i:j]), carry, consts)
                 pcm_chunks.append(pcm16)
             # the final-flush half (reference pacfile.py:171-178) is the
             # carry when every block was real, else the OLA of the first

@@ -182,10 +182,10 @@ def _extras_fn(cfg: CodecConfig, precision: str = "f32"):
 
 
 def exact_extras_chunked(analyses, consts, cfg: CodecConfig,
-                         precision: str, chunk: int, n_real: int,
-                         carry=None):
+                         precision: str, n_real: int, carry=None):
     """Run the cost precompute + reservoir scan over device-resident chunk
-    analyses; returns (per-chunk extras device arrays, final carry).
+    analyses (any per-chunk sizes — each chunk's length comes from its own
+    arrays); returns (per-chunk extras device arrays, final carry).
 
     n_real: real coded blocks (padding beyond it is gated out of the scan
     state so the trajectory is chunk-size invariant)."""
@@ -196,9 +196,10 @@ def exact_extras_chunked(analyses, consts, cfg: CodecConfig,
     extras_chunks = []
     done = 0
     for a in analyses:
+        size = a["smr"].shape[0]
         cost = cost_fn(a, consts)
-        valid = jnp.arange(chunk) < max(0, n_real - done)
+        valid = jnp.arange(size) < max(0, n_real - done)
         ex, carry = extras_fn(a["smr"], a["lrms"], cost, valid, carry)
         extras_chunks.append(ex)
-        done += chunk
+        done += size
     return extras_chunks, carry

@@ -166,7 +166,7 @@ class StreamingEncoder:
             from pactpu.codec import exact
             carry = jnp.asarray([self._deposit, self._extra], jnp.int32)
             extras_chunks, carry = exact.exact_extras_chunked(
-                analyses, consts, cfg, eng.precision, chunk, b, carry)
+                analyses, consts, cfg, eng.precision, b, carry)
             self._deposit, self._extra = (int(v) for v in np.asarray(carry))
         outs = [finalize(a, ex, consts)
                 for a, ex in zip(analyses, extras_chunks)]

@@ -74,10 +74,10 @@ def test_debug_checks_flag_nonfinite_and_out_of_range():
     one_bits = dict(bits=np.full((4, 2, 25), 2, np.int8))
     one_bits["bits"][2, 1, 3] = 1
 
-    _debug_check_encode([good], [ok_bits], 16, 4)     # clean: no raise
+    _debug_check_encode([good], [ok_bits], 16, [4])   # clean: no raise
     with pytest.raises(DebugCheckError, match="non-finite"):
-        _debug_check_encode([bad_smr], [ok_bits], 16, 4)
+        _debug_check_encode([bad_smr], [ok_bits], 16, [4])
     with pytest.raises(DebugCheckError, match="out of"):
-        _debug_check_encode([good], [hot_bits], 16, 4)
+        _debug_check_encode([good], [hot_bits], 16, [4])
     with pytest.raises(DebugCheckError, match="refund"):
-        _debug_check_encode([good], [one_bits], 16, 4)
+        _debug_check_encode([good], [one_bits], 16, [4])

@@ -33,7 +33,7 @@ def bursty_pcm() -> np.ndarray:
 def test_overflow_triggers_wide_tier(bursty_pcm):
     eng = Engine(rate_mode="reservoir", device_pack=True)
     eng.pack_words = NARROW
-    outs, b, _, _, chunk = eng._encode_chunks(bursty_pcm)
+    outs, b, _, _, _, _ = eng._encode_chunks(bursty_pcm)
     nbits = np.concatenate([np.asarray(o["nbits"]) for o in outs])[:2 * b]
     assert nbits.max() > 32 * NARROW, (
         "fixture no longer overflows the narrow packer")
