@@ -12,6 +12,7 @@ Usage:
   python -m pactpu stats  IN.wav                     # encode statistics
   python -m pactpu debug  IN.wav [--block 1] [--out blk.npz]
   python -m pactpu bench  IN.wav  [--reps 3]
+  python -m pactpu batch  WAV ... [--outdir DIR] [--retries 2] [--timeout S]
   python -m pactpu train  OUT.npz WAV[:TID] ...      # retrain Huffman tables
 
 Mono WAVs encode as single-channel streams (header nChannels=1); the
@@ -258,6 +259,47 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_batch(args) -> int:
+    """Encode many WAVs through the failure-detection/elastic-recovery
+    harness (pactpu.parallel.jobs): segment checkpoints, watchdog
+    timeouts, automatic retry from the last good checkpoint.  Failed jobs
+    are reported and exit nonzero; completed outputs are still written."""
+    from pactpu.codec.wav import read_wav
+    from pactpu.parallel import jobs
+    from pactpu.utils.config import CodecConfig
+
+    outdir = args.outdir or "."
+    os.makedirs(outdir, exist_ok=True)
+    wavs = [(os.path.splitext(os.path.basename(p))[0], read_wav(p))
+            for p in args.inputs]
+    failed = 0
+    t0 = time.time()
+    for (name, wav), path in zip(wavs, args.inputs):
+        cfg = CodecConfig(sample_rate=wav.sample_rate,
+                          n_channels=wav.samples.shape[1])
+        if args.bps:
+            cfg = dataclasses.replace(cfg, target_bits_per_sample=args.bps)
+        (res,) = jobs.run_encode_jobs(
+            [(name, wav.samples)], cfg=cfg, rate_mode=args.rate,
+            segment_blocks=args.segment_blocks, max_retries=args.retries,
+            timeout_s=args.timeout)
+        if res.ok:
+            out = os.path.join(outdir, name + ".wak")
+            with open(out, "wb") as f:
+                f.write(res.stream)
+            retry_note = (f" ({res.retries} fault(s) absorbed)"
+                          if res.retries else "")
+            print(f"{path} -> {out}: {len(res.stream)} bytes{retry_note}")
+        else:
+            failed += 1
+            print(f"{path}: FAILED after {res.retries} retries — "
+                  f"{res.error} (resumable from sample "
+                  f"{res.resume_offset})", file=sys.stderr)
+    print(f"batch: {len(wavs) - failed}/{len(wavs)} encoded in "
+          f"{time.time() - t0:.2f}s")
+    return 1 if failed else 0
+
+
 def cmd_bench(args) -> int:
     from pactpu.codec.wav import read_wav
     eng = _engine(args)
@@ -345,6 +387,21 @@ def main(argv=None) -> int:
     dbg.add_argument("--out", default=None,
                      help="write all curves to this .npz")
     dbg.set_defaults(fn=cmd_debug)
+
+    ba = sub.add_parser("batch")
+    ba.add_argument("inputs", nargs="+", metavar="WAV")
+    ba.add_argument("--outdir", default=None)
+    ba.add_argument("--rate", choices=("cbr", "reservoir"),
+                    default="reservoir")
+    ba.add_argument("--bps", type=float, default=None)
+    ba.add_argument("--segment-blocks", type=int, default=256,
+                    dest="segment_blocks",
+                    help="blocks per checkpointed segment")
+    ba.add_argument("--retries", type=int, default=2,
+                    help="max retries per segment")
+    ba.add_argument("--timeout", type=float, default=None,
+                    help="wall-clock watchdog per segment (s)")
+    ba.set_defaults(fn=cmd_batch)
 
     be = sub.add_parser("bench")
     be.add_argument("input")

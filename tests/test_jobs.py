@@ -121,6 +121,24 @@ def test_watchdog_times_out_hung_segment(ref_streams, monkeypatch):
     assert r.stream == streams["f1"]
 
 
+def test_cli_batch_subcommand(ref_streams, tmp_path, capsys):
+    """`python -m pactpu batch` drives the harness: outputs equal the
+    batch engine's streams."""
+    from pactpu.codec import cli
+    from pactpu.codec.wav import write_wav
+    files, streams = ref_streams
+    paths = []
+    for name, pcm in files.items():
+        p = tmp_path / f"{name}.wav"
+        write_wav(str(p), 44100, pcm)
+        paths.append(str(p))
+    assert cli.main(["batch", *paths, "--outdir", str(tmp_path)]) == 0
+    out = capsys.readouterr().out
+    assert "2/2 encoded" in out
+    for name in files:
+        assert (tmp_path / f"{name}.wak").read_bytes() == streams[name]
+
+
 def test_decode_jobs_retry_and_fail_cleanly(ref_streams):
     files, streams = ref_streams
     eng = Engine(rate_mode="reservoir")
