@@ -87,6 +87,27 @@ def test_cbr_mode_roundtrip():
     assert _snr(pcm, out) > 0.0  # decodes into correlated audio
 
 
+def test_chunk_sizes_tail_bucketing():
+    """Per-chunk sizes: full chunks + a bucketed tail, never exceeding the
+    chunk, covering at least b blocks (padded blocks stay off the link)."""
+    from pactpu.codec.engine import _chunk_sizes, _TAIL_BUCKETS
+    assert _chunk_sizes(512, 512) == [512]
+    assert _chunk_sizes(618, 512) == [512, 128]
+    assert _chunk_sizes(337, 512) == [384]
+    assert _chunk_sizes(1025, 512) == [512, 512, 16]
+    assert _chunk_sizes(5, 16) == [16]
+    assert _chunk_sizes(20, 20) == [20]
+    assert _chunk_sizes(27, 20) == [20, 16]
+    for b in (1, 15, 16, 17, 96, 97, 511, 512, 513, 1000, 2049):
+        for chunk in (16, 64, 512):
+            sizes = _chunk_sizes(b, chunk)
+            assert sum(sizes) >= b
+            assert all(1 <= s <= chunk for s in sizes)
+            assert all(s == chunk or s in _TAIL_BUCKETS or s == chunk
+                       for s in sizes)
+            assert sum(sizes) - b < chunk  # bounded padding
+
+
 def test_encode_many_decode_many_match_serial():
     """The batch throughput APIs produce byte/sample-identical results to
     serial encode/decode calls."""
