@@ -70,17 +70,19 @@ def _check_golden(stream: bytes, golden_path: str) -> None:
         print(f"golden match: YES — byte-identical to {golden_path} "
               f"({len(gold)} bytes)")
     else:
+        import numpy as np
         n = min(len(stream), len(gold))
-        first = next((i for i in range(n) if stream[i] != gold[i]), n)
+        diff = np.flatnonzero(np.frombuffer(stream, np.uint8, n)
+                              != np.frombuffer(gold, np.uint8, n))
+        first = int(diff[0]) if diff.size else n
         print(f"golden match: NO — sizes {len(stream)}/{len(gold)}, "
               f"first differing byte at offset {first}")
 
 
-def _report_savings(stream: bytes, pcm_len: int, cfg, elapsed: float,
-                    what: str) -> None:
+def _report_savings(stream: bytes, pcm_len: int, cfg, elapsed, what) -> None:
     kbps = 8.0 * len(stream) * cfg.sample_rate / max(pcm_len, 1) / 1000.0
-    print(f"{what}: {len(stream)} bytes ({kbps:.1f} kbps total) "
-          f"in {elapsed:.2f}s")
+    timing = f" in {elapsed:.2f}s" if elapsed is not None else ""
+    print(f"{what}: {len(stream)} bytes ({kbps:.1f} kbps total){timing}")
 
 
 def cmd_encode(args) -> int:
@@ -152,9 +154,12 @@ def cmd_roundtrip(args) -> int:
             f.write(stream)
         decoded = os.path.join(outdir, base + "_decoded.wav")
         write_wav(decoded, fs, pcm)
-        _report_savings(stream, wav.num_samples, eng.cfg, elapsed,
+        # per-file wall time is ill-defined on the pipelined batch path,
+        # so timing is reported once for the whole batch below
+        _report_savings(stream, wav.num_samples, eng.cfg, None,
                         f"{base}: encode+decode")
         print(f"wrote {coded} and {decoded}")
+    print(f"{len(wavs)} file(s) in {elapsed:.2f}s")
     return 0
 
 
@@ -180,6 +185,9 @@ def cmd_debug(args) -> int:
 
     wav = read_wav(args.input)
     cfg = CodecConfig(sample_rate=wav.sample_rate)
+    for field in ("window", "ms_decision", "peak_mode"):
+        if getattr(args, field, None):
+            cfg = dataclasses.replace(cfg, **{field: getattr(args, field)})
     d = debug_block(wav.samples, args.block, cfg)
     if args.out:
         np.savez(args.out, **d)
@@ -263,7 +271,9 @@ def cmd_batch(args) -> int:
     """Encode many WAVs through the failure-detection/elastic-recovery
     harness (pactpu.parallel.jobs): segment checkpoints, watchdog
     timeouts, automatic retry from the last good checkpoint.  Failed jobs
-    are reported and exit nonzero; completed outputs are still written."""
+    are reported and exit nonzero; completed outputs are still written.
+    A failed job's state (a few KB) is saved to OUT.wak.resume so a rerun
+    redoes only the un-encoded range instead of the whole file."""
     from pactpu.codec.wav import read_wav
     from pactpu.parallel import jobs
     from pactpu.utils.config import CodecConfig
@@ -279,22 +289,32 @@ def cmd_batch(args) -> int:
                           n_channels=wav.samples.shape[1])
         if args.bps:
             cfg = dataclasses.replace(cfg, target_bits_per_sample=args.bps)
-        (res,) = jobs.run_encode_jobs(
-            [(name, wav.samples)], cfg=cfg, rate_mode=args.rate,
-            segment_blocks=args.segment_blocks, max_retries=args.retries,
-            timeout_s=args.timeout)
+        out = os.path.join(outdir, name + ".wak")
+        resume_path = out + ".resume"
+        common = dict(cfg=cfg, rate_mode=args.rate,
+                      segment_blocks=args.segment_blocks,
+                      max_retries=args.retries, timeout_s=args.timeout)
+        if os.path.exists(resume_path):
+            prior = jobs.load_failed_job(resume_path)
+            print(f"{path}: resuming from sample {prior.resume_offset} "
+                  f"({resume_path})")
+            res = jobs.resume_encode_job(prior, wav.samples, **common)
+        else:
+            (res,) = jobs.run_encode_jobs([(name, wav.samples)], **common)
         if res.ok:
-            out = os.path.join(outdir, name + ".wak")
             with open(out, "wb") as f:
                 f.write(res.stream)
+            if os.path.exists(resume_path):
+                os.remove(resume_path)
             retry_note = (f" ({res.retries} fault(s) absorbed)"
                           if res.retries else "")
             print(f"{path} -> {out}: {len(res.stream)} bytes{retry_note}")
         else:
             failed += 1
+            jobs.save_failed_job(res, resume_path)
             print(f"{path}: FAILED after {res.retries} retries — "
-                  f"{res.error} (resumable from sample "
-                  f"{res.resume_offset})", file=sys.stderr)
+                  f"{res.error}; saved {resume_path}, rerun to resume "
+                  f"from sample {res.resume_offset}", file=sys.stderr)
     print(f"batch: {len(wavs) - failed}/{len(wavs)} encoded in "
           f"{time.time() - t0:.2f}s")
     return 1 if failed else 0
@@ -386,6 +406,14 @@ def main(argv=None) -> int:
                      help="coded block index (default 1, as the reference)")
     dbg.add_argument("--out", default=None,
                      help="write all curves to this .npz")
+    dbg.add_argument("--window", choices=("sine", "kbd"), default=None,
+                     help="match the encode being debugged")
+    dbg.add_argument("--ms-decision", choices=("intensity", "bitalloc"),
+                     default=None, dest="ms_decision",
+                     help="match the encode being debugged")
+    dbg.add_argument("--peak-mode", choices=("ref", "para", "weighted"),
+                     default=None, dest="peak_mode",
+                     help="match the encode being debugged")
     dbg.set_defaults(fn=cmd_debug)
 
     ba = sub.add_parser("batch")
@@ -419,7 +447,14 @@ def main(argv=None) -> int:
     tr.set_defaults(fn=cmd_train)
 
     args = p.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except ValueError as e:
+        # the library's user-error channel: invalid mode combinations
+        # (e.g. mono input with --rate exact), corrupt/truncated streams,
+        # bad table sets — report cleanly instead of a traceback
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

@@ -37,6 +37,8 @@ Design:
 
 from __future__ import annotations
 
+import json as _json
+import struct as _struct
 import time
 from concurrent.futures import ThreadPoolExecutor
 from concurrent.futures import TimeoutError as FutureTimeout
@@ -157,6 +159,8 @@ def run_encode_jobs(jobs, cfg: Optional[CodecConfig] = None,
     checkpoints, failure detection, and elastic retry.  Successful results
     are byte-identical to `Engine(rate_mode=...).encode(pcm)` prefixed
     with the stream header, no matter how many faults were absorbed."""
+    if segment_blocks < 1:
+        raise ValueError("segment_blocks must be >= 1")
     cfg = cfg or CodecConfig()
     watchdog = _Watchdog(timeout_s)
     results = []
@@ -184,6 +188,8 @@ def resume_encode_job(result: JobResult, pcm: np.ndarray,
     checkpoint is a few KB of plain bytes)."""
     if result.ok or result.checkpoint is None:
         raise ValueError("resume_encode_job needs a failed JobResult")
+    if segment_blocks < 1:
+        raise ValueError("segment_blocks must be >= 1")
     cfg = cfg or CodecConfig()
     watchdog = _Watchdog(timeout_s)
     try:
@@ -195,6 +201,62 @@ def resume_encode_job(result: JobResult, pcm: np.ndarray,
             list(result.parts or []), result.resume_offset, result.retries)
     finally:
         watchdog.close()
+
+
+_CKPT_MAGIC = b"PJC1"
+
+
+def save_failed_job(result: JobResult, path: str) -> None:
+    """Persist a failed encode JobResult so a later process (or another
+    host) can pick it up with `load_failed_job` + `resume_encode_job`.
+    The file is self-contained: json metadata + the encoder checkpoint +
+    the already-encoded stream parts (no pickle — the format is a fixed
+    framing that `load_failed_job` validates)."""
+    if result.ok or result.checkpoint is None:
+        raise ValueError("save_failed_job needs a failed JobResult")
+    parts = result.parts or []
+    meta = dict(name=result.name, resume_offset=result.resume_offset,
+                retries=result.retries, error=result.error,
+                failed_segments=list(result.failed_segments),
+                checkpoint_len=len(result.checkpoint),
+                part_lens=[len(p) for p in parts])
+    blob = _json.dumps(meta).encode()
+    with open(path, "wb") as f:
+        f.write(_CKPT_MAGIC + _struct.pack("<I", len(blob)) + blob)
+        f.write(result.checkpoint)
+        for p in parts:
+            f.write(p)
+
+
+def load_failed_job(path: str) -> JobResult:
+    """Inverse of `save_failed_job`; raises ValueError on a malformed or
+    truncated checkpoint file."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != _CKPT_MAGIC:
+        raise ValueError(f"{path}: not a pactpu job checkpoint")
+    try:
+        (n,) = _struct.unpack_from("<I", data, 4)
+        meta = _json.loads(data[8:8 + n].decode())
+        off = 8 + n
+        ckpt = data[off:off + meta["checkpoint_len"]]
+        off += meta["checkpoint_len"]
+        parts = []
+        for ln in meta["part_lens"]:
+            parts.append(data[off:off + ln])
+            off += ln
+        if off != len(data) or len(ckpt) != meta["checkpoint_len"] or \
+                any(len(p) != ln for p, ln in zip(parts, meta["part_lens"])):
+            raise ValueError
+        return JobResult(
+            name=meta["name"], ok=False, retries=int(meta["retries"]),
+            failed_segments=list(meta["failed_segments"]),
+            error=meta["error"], checkpoint=ckpt,
+            resume_offset=int(meta["resume_offset"]), parts=parts)
+    except (KeyError, TypeError, ValueError, _struct.error,
+            UnicodeDecodeError):
+        raise ValueError(f"{path}: truncated or corrupt job checkpoint") \
+            from None
 
 
 def run_decode_jobs(jobs, max_retries: int = 2,

@@ -194,7 +194,7 @@ def debug_block(pcm: np.ndarray, block_index: int, cfg=None,
     from pactpu.ops import psycho
     from pactpu.ops import quantize as q_ops
     from pactpu.ops.mdct import mdct
-    from pactpu.ops.windows import sine_window
+    from pactpu.ops.windows import analysis_window
     from pactpu.utils.config import CodecConfig
 
     cfg = cfg or CodecConfig()
@@ -206,13 +206,25 @@ def debug_block(pcm: np.ndarray, block_index: int, cfg=None,
     frame[:, max(-lo, 0):max(-lo, 0) + seg.shape[1]] = seg
 
     frames = q_ops.pcm16_to_float(jnp.asarray(frame[None]))
-    sine = jnp.asarray(sine_window(2 * half), frames.dtype)
-    sw = frames * sine[None, None, :]
+    win = jnp.asarray(analysis_window(cfg.window, 2 * half), frames.dtype)
+    sw = frames * win[None, None, :]
     lines = mdct(sw)
     overall = q_ops.scale_factor(
         jnp.max(jnp.abs(lines), axis=-1), cfg.n_scale_bits, 5)
     scaled = lines * jnp.exp2(overall[..., None].astype(lines.dtype))
-    lrms = psycho.lrms_decision(frames, layout, cfg.ms_decision_factor)
+    if cfg.ms_decision == "bitalloc":
+        # same decision the engine's analyze pass makes in this mode
+        # (engine.analyze_body): pick per band whichever coding needs
+        # fewer allocated bits
+        smr_lr, smr_ms, _ = psycho.stereo_smr_pair(
+            sw, scaled, overall, cfg.sample_rate, layout,
+            peak_mode=cfg.peak_mode)
+        lrms = ba_ops.lrms_decision_bitalloc(
+            smr_lr, smr_ms, layout.n_lines_array, int(cfg.bit_budget()),
+            min(1 << cfg.n_mant_size_bits, cfg.max_mant_bits),
+            cfg.ms_stop_threshold_db, cfg.lr_stop_threshold_db)
+    else:
+        lrms = psycho.lrms_decision(frames, layout, cfg.ms_decision_factor)
     smr, mixed, curves = psycho.stereo_smrs(
         sw, scaled, overall, lrms, cfg.sample_rate, layout,
         peak_mode=cfg.peak_mode, return_curves=True)

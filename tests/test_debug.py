@@ -81,3 +81,26 @@ def test_debug_checks_flag_nonfinite_and_out_of_range():
         _debug_check_encode([good], [hot_bits], 16, [4])
     with pytest.raises(DebugCheckError, match="refund"):
         _debug_check_encode([good], [one_bits], 16, [4])
+
+def test_debug_block_honors_variant_config(pcm):
+    """debug_block must describe the CONFIGURED encode: kbd windowing and
+    the bitalloc M/S rule flow into the dump exactly as the engine's own
+    analysis pass computes them (it used to hardcode sine+intensity)."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from pactpu.codec import engine as E
+
+    base = debug_block(pcm, 2, CFG)
+    for cfg in (dc.replace(CFG, window="kbd"),
+                dc.replace(CFG, ms_decision="bitalloc")):
+        d = debug_block(pcm, 2, cfg)
+        frames = E.frame_blocks_np(pcm, cfg.n_mdct_lines, 3)
+        a = E.analyze_body(cfg)(jnp.asarray(frames),
+                                E.engine_consts_np(cfg))
+        np.testing.assert_array_equal(d["lrms"], np.asarray(a["lrms"])[2])
+        np.testing.assert_allclose(d["smr"], np.asarray(a["smr"])[2],
+                                   rtol=1e-4, atol=1e-4)
+    kbd = debug_block(pcm, 2, dc.replace(CFG, window="kbd"))
+    assert not np.allclose(kbd["smr"], base["smr"])

@@ -136,3 +136,26 @@ def test_encode_many_decode_many_match_serial():
     for (fs_a, a), (fs_b, bb) in zip(dec_serial, results):
         assert fs_a == fs_b
         np.testing.assert_array_equal(a, bb)
+
+def test_cfg_property_validates_and_invalidates_consts():
+    """Replacing eng.cfg must re-run the mode-compatibility checks (the
+    CLI adapts a constructed engine to the input file) and drop the
+    cached device constants, which derive from the config."""
+    import dataclasses as dc
+
+    import pytest
+
+    eng = Engine(rate_mode="exact", precision="f64")
+    with pytest.raises(ValueError, match="mono"):
+        eng.cfg = dc.replace(eng.cfg, n_channels=1)
+    with pytest.raises(ValueError, match="water-filling"):
+        eng.cfg = dc.replace(eng.cfg, alloc_mode="closed_form")
+    with pytest.raises(ValueError, match="sine"):
+        eng.cfg = dc.replace(eng.cfg, window="kbd")
+    with pytest.raises(ValueError, match="unknown window"):
+        eng.cfg = dc.replace(eng.cfg, window="hann")
+
+    eng2 = Engine()
+    c1 = eng2.consts()
+    eng2.cfg = dc.replace(eng2.cfg, sample_rate=48000)
+    assert eng2.consts() is not c1          # stale tables dropped

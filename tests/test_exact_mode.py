@@ -142,3 +142,22 @@ def test_f64_requires_x64():
     if not jax.config.jax_enable_x64:
         with pytest.raises(RuntimeError):
             eng.consts()
+
+def test_cli_rejects_mono_exact(tmp_path, capsys):
+    """Mono + --rate exact used to slip past Engine validation (the CLI
+    replaced eng.cfg after __init__) and silently emit a corrupt
+    trajectory; it must fail cleanly with no output file."""
+    from pactpu.codec import cli
+    from pactpu.codec.wav import write_wav
+
+    t = np.arange(4096) / 44100.0
+    mono = np.clip(np.sin(2 * np.pi * 440 * t) * 20000,
+                   -32768, 32767).astype(np.int16)[:, None]
+    wav_path = tmp_path / "m.wav"
+    out_path = tmp_path / "m.wak"
+    write_wav(str(wav_path), 44100, mono)
+    rc = cli.main(["encode", str(wav_path), str(out_path), "--rate",
+                   "exact"])
+    assert rc == 1
+    assert "mono" in capsys.readouterr().err
+    assert not out_path.exists()

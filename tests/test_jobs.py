@@ -160,3 +160,86 @@ def test_decode_jobs_retry_and_fail_cleanly(ref_streams):
     bad = jobs.run_decode_jobs([("x", b"PAC garbage stream")],
                                max_retries=1)
     assert not bad[0].ok and bad[0].error
+
+def test_segment_blocks_validated(ref_streams):
+    """segment_blocks < 1 used to loop forever (pos never advances);
+    both entry points must reject it up front."""
+    files, _ = ref_streams
+    with pytest.raises(ValueError, match="segment_blocks"):
+        jobs.run_encode_jobs(files.items(), segment_blocks=0)
+    with pytest.raises(ValueError, match="segment_blocks"):
+        jobs.run_encode_jobs(files.items(), segment_blocks=-4)
+
+
+def test_failed_job_checkpoint_file_roundtrip(ref_streams, tmp_path):
+    """save_failed_job/load_failed_job persist everything a resume needs;
+    a resumed job is byte-identical and a corrupt file fails cleanly."""
+    files, streams = ref_streams
+    pcm = files["f0"]
+
+    def fail_seg1(name, seg, attempt):
+        if seg == 1:
+            raise RuntimeError("persistent fault")
+
+    (r,) = jobs.run_encode_jobs([("f0", pcm)], segment_blocks=3,
+                                max_retries=1, fault_hook=fail_seg1)
+    assert not r.ok
+    path = tmp_path / "f0.resume"
+    jobs.save_failed_job(r, str(path))
+    r2 = jobs.load_failed_job(str(path))
+    assert (r2.name, r2.resume_offset, r2.retries) == \
+        (r.name, r.resume_offset, r.retries)
+    assert r2.checkpoint == r.checkpoint and r2.parts == r.parts
+    r3 = jobs.resume_encode_job(r2, pcm, segment_blocks=3)
+    assert r3.ok and r3.stream == streams["f0"]
+
+    path.write_bytes(path.read_bytes()[:-3])        # truncate
+    with pytest.raises(ValueError, match="corrupt|checkpoint"):
+        jobs.load_failed_job(str(path))
+    with pytest.raises(ValueError, match="checkpoint"):
+        jobs.load_failed_job(__file__)              # not a checkpoint
+
+
+def test_cli_batch_resume(ref_streams, tmp_path, capsys, monkeypatch):
+    """A failed CLI batch writes OUT.wak.resume; the rerun resumes from
+    it (skipping completed segments), produces byte-identical output and
+    removes the sidecar."""
+    from pactpu.codec import cli
+    from pactpu.codec import stream as stream_mod
+    from pactpu.codec.wav import write_wav
+
+    files, streams = ref_streams
+    pcm = files["f1"]
+    p = tmp_path / "f1.wav"
+    write_wav(str(p), 44100, pcm)
+
+    real_push = stream_mod.StreamingEncoder.push
+    calls = {"n": 0}
+
+    def flaky_push(self, data):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("injected wedge")
+        return real_push(self, data)
+
+    monkeypatch.setattr(stream_mod.StreamingEncoder, "push", flaky_push)
+    rc = cli.main(["batch", str(p), "--outdir", str(tmp_path),
+                   "--segment-blocks", "3", "--retries", "1"])
+    assert rc == 1
+    resume = tmp_path / "f1.wak.resume"
+    assert resume.exists()
+    assert "saved" in capsys.readouterr().err
+
+    monkeypatch.setattr(stream_mod.StreamingEncoder, "push", real_push)
+    rc = cli.main(["batch", str(p), "--outdir", str(tmp_path),
+                   "--segment-blocks", "3"])
+    assert rc == 0
+    assert "resuming from sample" in capsys.readouterr().out
+    assert not resume.exists()
+    assert (tmp_path / "f1.wak").read_bytes() == streams["f1"]
+
+    # the CLI surfaces library validation as a clean error, not a hang
+    rc = cli.main(["batch", str(p), "--outdir", str(tmp_path),
+                   "--segment-blocks", "0"])
+    assert rc == 1
+    assert "segment_blocks" in capsys.readouterr().err
