@@ -93,6 +93,23 @@ def _measure() -> None:
     batch_dts = timed_reps(lambda: eng.roundtrip_many(inputs), budget_s=90)
     batch_blocks_per_s = rep_blocks / min(batch_dts)
 
+    # pure device compute (tunnel-independent): the chip's own blocks/s
+    # with inputs device-resident and one blocking fetch — the
+    # speed-of-light figure for the kernels themselves (PERF.md).  Run
+    # under a thread watchdog so a mid-run tunnel wedge costs this field,
+    # not the whole benchmark.
+    device_compute = None
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pactpu.utils.devbench import measure_device_compute
+        pool = ThreadPoolExecutor(max_workers=1)
+        fut = pool.submit(measure_device_compute, inputs[0], 512, 20, eng)
+        device_compute = fut.result(timeout=180)
+        pool.shutdown(wait=False)
+    except Exception:  # noqa: BLE001 — optional diagnostic field
+        pass
+
     # reference-semantics baseline on a short slice (~40 blocks)
     slice_pcm = inputs[0][: 40 * half]
     t0 = time.perf_counter()
@@ -110,6 +127,7 @@ def _measure() -> None:
         "batch_api_value": round(batch_blocks_per_s, 2),
         "mean_value": round(mean_blocks_per_s, 2),
         "reps": len(serial_dts),
+        "device_compute": device_compute,
     }))
 
 

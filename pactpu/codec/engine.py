@@ -1279,10 +1279,12 @@ class Engine:
         _prefetch_host_copies(s[-1] for s in staged)
         return [self._decode_finish(*s) for s in staged]
 
-    def _decode_dispatch(self, data: bytes):
-        """Async half of decode: parse, repack, upload, dispatch; returns
-        the staged state for `_decode_finish` without blocking on device
-        results."""
+    def _decode_staging(self, data: bytes):
+        """Host half of a decode dispatch: parse the stream, repack codes
+        and select the chunk programs — everything up to (but not
+        including) the device uploads.  Split out so the device-compute
+        benchmark (pactpu.utils.devbench) can iterate the exact programs
+        `_decode_dispatch` runs on device-resident inputs."""
         cfg, num_samples, off = rc.read_header(data)
         if cfg.window != self.cfg.window:
             # the stream format carries no window field; synthesis follows
@@ -1312,7 +1314,6 @@ class Engine:
                 a = np.pad(a, pad, constant_values=pad_value)
             return a
 
-        consts = self.consts()
         # compact upload dtypes: ba/sf/overall fit int8, mantissa codes
         # fit uint16 (<= 16 bits incl. sign), lrms is bool
         ba = d2(parsed["ba"]).astype(np.int8)
@@ -1370,7 +1371,17 @@ class Engine:
             mant_chunks = [mant[offs[k]:offs[k] + sz]
                            for k, sz in enumerate(sizes)]
             runs = [_chunk_decode_fn(cfg, self.precision)] * len(sizes)
+        return (cfg, num_samples, b, c, sizes, offs, runs,
+                (ba, sf, overall, lrms, mant_chunks))
 
+    def _decode_dispatch(self, data: bytes):
+        """Async half of decode: parse, repack, upload, dispatch; returns
+        the staged state for `_decode_finish` without blocking on device
+        results."""
+        (cfg, num_samples, b, c, sizes, offs, runs,
+         (ba, sf, overall, lrms, mant_chunks)) = self._decode_staging(data)
+        half = cfg.n_mdct_lines
+        consts = self.consts()
         pcm_chunks = []
         carry = jnp.zeros((c, half), _dtype(self.precision))
         with self._stage("decode/upload+dispatch"):

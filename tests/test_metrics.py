@@ -64,3 +64,15 @@ def test_stage_timer():
         pass
     rep = t.report()
     assert rep["a"]["calls"] == 2 and rep["b"]["calls"] == 1
+
+
+def test_device_compute_bench_runs():
+    """The tunnel-independent device-compute benchmark must measure the
+    same programs the engine dispatches and return sane positive rates."""
+    from pactpu.utils.devbench import measure_device_compute
+
+    res = measure_device_compute(blocks=16, iters=2)
+    assert res["encode_blocks_per_s"] > 0
+    assert res["decode_blocks_per_s"] > 0
+    assert res["roundtrip_blocks_per_s"] <= min(
+        res["encode_blocks_per_s"], res["decode_blocks_per_s"]) + 1e-6
