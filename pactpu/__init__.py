@@ -55,13 +55,14 @@ _enable_compile_cache()
 from pactpu.utils.config import CodecConfig, default_config  # noqa: E402
 
 __all__ = ["CodecConfig", "default_config", "Engine",
-           "StreamingEncoder", "StreamingDecoder"]
-__version__ = "0.2.0"
+           "StreamingEncoder", "StreamingDecoder", "DeviceFleet"]
+__version__ = "0.3.0"
 
 _LAZY = {
     "Engine": ("pactpu.codec.engine", "Engine"),
     "StreamingEncoder": ("pactpu.codec.stream", "StreamingEncoder"),
     "StreamingDecoder": ("pactpu.codec.stream", "StreamingDecoder"),
+    "DeviceFleet": ("pactpu.parallel.serve", "DeviceFleet"),
 }
 
 

@@ -142,6 +142,13 @@ def cmd_roundtrip(args) -> int:
     if len(wavs) == 1:
         stream = eng.encode(wavs[0].samples)
         results, streams = [eng.decode(stream)], [stream]
+    elif getattr(args, "fleet", False):
+        from pactpu.parallel.serve import DeviceFleet
+        fleet = DeviceFleet(cfg=eng.cfg, rate_mode=eng.rate_mode,
+                            fmt=eng.fmt, precision=eng.precision)
+        print(f"fleet: {len(fleet.devices)} device(s)")
+        results, streams = fleet.roundtrip_many(
+            [w.samples for w in wavs], return_streams=True)
     else:
         results, streams = eng.roundtrip_many(
             [w.samples for w in wavs], return_streams=True)
@@ -392,6 +399,9 @@ def main(argv=None) -> int:
     rt.add_argument("--f64", action="store_true")
     rt.add_argument("--fmt", choices=("wak", "pac"), default="wak")
     rt.add_argument("--bps", type=float, default=None)
+    rt.add_argument("--fleet", action="store_true",
+                    help="spread files over all local devices, one "
+                         "engine per chip (pactpu.parallel.serve)")
     rt.set_defaults(fn=cmd_roundtrip)
 
     st = sub.add_parser("stats")

@@ -75,3 +75,23 @@ def test_fleet_fewer_files_than_devices(fleet):
 def test_fleet_worker_errors_propagate(fleet):
     with pytest.raises(ValueError, match="pcm must be"):
         fleet.encode_many([np.zeros((1024, 3), np.int16)])
+
+
+def test_cli_roundtrip_fleet(files, tmp_path, capsys):
+    """`roundtrip --fleet` spreads files over the local devices and
+    writes the same artifacts as the single-engine path."""
+    from pactpu.codec import cli
+    from pactpu.codec.wav import write_wav
+
+    eng = Engine(rate_mode="reservoir")
+    paths = []
+    for k, pcm in enumerate(files[:3]):
+        p = tmp_path / f"s{k}.wav"
+        write_wav(str(p), 44100, pcm)
+        paths.append(str(p))
+    assert cli.main(["roundtrip", *paths, "--outdir", str(tmp_path),
+                     "--fleet"]) == 0
+    assert "fleet:" in capsys.readouterr().out
+    for k, pcm in enumerate(files[:3]):
+        want = eng.encode(pcm)
+        assert (tmp_path / f"s{k}.wak").read_bytes() == want
