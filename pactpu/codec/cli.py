@@ -199,6 +199,10 @@ def cmd_debug(args) -> int:
     if args.out:
         np.savez(args.out, **d)
         print(f"wrote {args.out}")
+    if getattr(args, "plot", None):
+        from pactpu.utils.plots import plot_debug_block
+        plot_debug_block(d, cfg, args.plot, block_index=args.block)
+        print(f"wrote {args.plot}")
     layout = cfg.band_layout
     print(f"block {args.block}: overall scale {d['overall'].tolist()}, "
           f"budget {float(d['budget']):.0f} bits, "
@@ -416,6 +420,9 @@ def main(argv=None) -> int:
                      help="coded block index (default 1, as the reference)")
     dbg.add_argument("--out", default=None,
                      help="write all curves to this .npz")
+    dbg.add_argument("--plot", default=None, metavar="FILE.png",
+                     help="render the reference-style masking-curve "
+                          "figure (psychoac.py block-1 plots)")
     dbg.add_argument("--window", choices=("sine", "kbd"), default=None,
                      help="match the encode being debugged")
     dbg.add_argument("--ms-decision", choices=("intensity", "bitalloc"),

@@ -104,3 +104,17 @@ def test_debug_block_honors_variant_config(pcm):
                                    rtol=1e-4, atol=1e-4)
     kbd = debug_block(pcm, 2, dc.replace(CFG, window="kbd"))
     assert not np.allclose(kbd["smr"], base["smr"])
+
+def test_debug_cli_plot(pcm, tmp_path):
+    """--plot renders the reference-style masking figure (block-1 plots,
+    reference psychoac.py:524-658) to a PNG."""
+    from pactpu.codec import cli
+    from pactpu.codec.wav import write_wav
+
+    wav_path = tmp_path / "t.wav"
+    png = tmp_path / "t.png"
+    write_wav(str(wav_path), 44100, pcm)
+    assert cli.main(["debug", str(wav_path), "--block", "2",
+                     "--plot", str(png)]) == 0
+    data = png.read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) > 20000
