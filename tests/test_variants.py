@@ -404,3 +404,50 @@ def test_streaming_decoder_kbd_window():
     parts = [dec.push(blob[:97]), dec.push(blob[97:]), dec.flush()]
     out = np.concatenate([p for p in parts if p.size], axis=0)
     np.testing.assert_array_equal(out, batch)
+
+
+# -- variant interaction matrix ----------------------------------------------
+
+
+@pytest.mark.parametrize("combo", [
+    dict(window="kbd", ms_decision="bitalloc"),
+    dict(window="kbd", alloc_mode="closed_form", peak_mode="para"),
+    dict(ms_decision="bitalloc", alloc_mode="closed_form", rate="cbr"),
+    dict(window="kbd", n_channels=1),
+    dict(sample_rate=48000, window="kbd", ms_decision="bitalloc"),
+    dict(n_channels=1, alloc_mode="closed_form", peak_mode="weighted",
+         rate="cbr"),
+], ids=lambda c: "+".join(f"{k}={v}" for k, v in c.items()))
+def test_variant_interactions_roundtrip(combo):
+    """Every variant dimension must COMPOSE with the others, not just work
+    alone: encode->decode round-trips with deterministic bytes and sane
+    reconstruction for mixed flag settings (mono x kbd, bitalloc x
+    closed-form x cbr, 48 kHz x kbd x bitalloc, ...)."""
+    from pactpu.codec.engine import Engine
+
+    combo = dict(combo)
+    rate = combo.pop("rate", "reservoir")
+    fs = combo.pop("sample_rate", 44100)
+    chans = combo.pop("n_channels", 2)
+    cfg = CodecConfig(sample_rate=fs, n_channels=chans, **combo)
+    eng = Engine(cfg=cfg, rate_mode=rate)
+
+    rng = np.random.default_rng(7)
+    n = 1024 * 4 - 111
+    t = np.arange(n) / fs
+    sig = (0.45 * np.sin(2 * np.pi * 440 * t)
+           + 0.12 * np.sin(2 * np.pi * 2900 * t)
+           + 0.02 * rng.standard_normal(n))
+    cols = [sig, 0.7 * sig][:chans]
+    pcm = np.clip(np.stack(cols, 1) * 32767, -32768, 32767).astype(np.int16)
+
+    stream = eng.encode(pcm)
+    assert eng.encode(pcm) == stream            # deterministic bytes
+    fs2, out = eng.decode(stream)
+    assert fs2 == fs and out.shape == pcm.shape
+    err = out.astype(np.float64) - pcm.astype(np.float64)
+    snr = 10 * np.log10(
+        np.sum(pcm.astype(np.float64) ** 2) / max(np.sum(err ** 2), 1.0))
+    # stereo decode embeds the reference's M/S aliasing (SURVEY.md §8.1),
+    # which caps SNR on wide material; mono has no such cap
+    assert snr > (10.0 if chans == 1 else 1.0), snr
