@@ -72,15 +72,22 @@ def measure_device_compute(pcm: Optional[np.ndarray] = None,
     carry0 = jnp.zeros(2, jnp.int32)
     dense_cap = blocks * c * E.PACK_DENSE_WORDS
 
-    def encode_once():
-        a = analyze(dev_pcm, consts)
-        m = measure(a, zeros, consts)
+    # one fused program per iteration (the five stages trace inline), so
+    # each rep costs ONE dispatch — per-dispatch enqueue latency through
+    # the tunnel would otherwise shadow the compute being measured
+    @jax.jit
+    def encode_prog(pcm_dev, c):
+        a = analyze(pcm_dev, c)
+        m = measure(a, zeros, c)
         ex, _ = scan(m["savings"], m["leftover"], valid, carry0)
-        out = finalize(a, ex, consts)
+        out = finalize(a, ex, c)
         if "words" in out:
             return E.pack_ops.compact_rows(out["words"], out["nbits"],
                                            dense_cap)
         return out["nbits"]
+
+    def encode_once():
+        return encode_prog(dev_pcm, consts)
 
     jax.block_until_ready(encode_once())          # compile + warm
     t0 = time.perf_counter()
