@@ -72,22 +72,21 @@ def measure_device_compute(pcm: Optional[np.ndarray] = None,
     carry0 = jnp.zeros(2, jnp.int32)
     dense_cap = blocks * c * E.PACK_DENSE_WORDS
 
-    # one fused program per iteration (the five stages trace inline), so
-    # each rep costs ONE dispatch — per-dispatch enqueue latency through
-    # the tunnel would otherwise shadow the compute being measured
-    @jax.jit
-    def encode_prog(pcm_dev, c):
-        a = analyze(pcm_dev, c)
-        m = measure(a, zeros, c)
+    # the same five dispatches the engine enqueues — NOT fused into one
+    # jit: merging the stages into a single XLA program measured 12x
+    # SLOWER on the TPU (43 ms vs 3.6 ms per 512-block chunk; the merged
+    # program keeps the whole analysis live across the rate/entropy tail
+    # and schedules it much worse than the five independently-optimized
+    # programs).  The multi-dispatch chain is also the production shape.
+    def encode_once():
+        a = analyze(dev_pcm, consts)
+        m = measure(a, zeros, consts)
         ex, _ = scan(m["savings"], m["leftover"], valid, carry0)
-        out = finalize(a, ex, c)
+        out = finalize(a, ex, consts)
         if "words" in out:
             return E.pack_ops.compact_rows(out["words"], out["nbits"],
                                            dense_cap)
         return out["nbits"]
-
-    def encode_once():
-        return encode_prog(dev_pcm, consts)
 
     jax.block_until_ready(encode_once())          # compile + warm
     t0 = time.perf_counter()
