@@ -21,7 +21,7 @@ the reference implementation and the decode path.
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -139,8 +139,11 @@ def pack_payload_bits(overall: jax.Array, tid: jax.Array, ba: jax.Array,
     return words, nbits
 
 
+@partial(jax.jit, static_argnames=("cap",))
 def compact_rows(words: jax.Array, nbits: jax.Array, cap: int) -> jax.Array:
-    """Dense-pack padded payload rows for download.
+    """Dense-pack padded payload rows for download.  Jitted: eagerly this
+    is ~10 op dispatches, and on the remote tunnel each dispatch enqueue
+    costs more than the entire (0.02 ms) computation.
 
     words: u32[R, W] device-packed rows; nbits: i32[R].  Row r occupies
     ceil(nbits[r]/32) words (clamped to W); those words land contiguously
