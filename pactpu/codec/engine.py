@@ -481,14 +481,36 @@ def _decode_fn(cfg: CodecConfig, precision: str = "f32"):
     return jax.jit(decode_body(cfg, precision))
 
 
+def _line_bit_offsets(ba_rows: jax.Array, layout):
+    """Per-line bit offset/width of the packed mantissa codes, from the
+    per-band allocations (`ba_rows` i32[rows, nb]).
+
+    Widths are constant within a band, so the per-line offset is the
+    band's exclusive bit cumsum plus line-in-band x width — a closed
+    form over the 25 bands instead of a cumsum over the 1024 line lanes
+    (which measured 1.4 ms per 512-block chunk on the TPU; this is
+    ~30x cheaper).  Returns (off, width, total_bits): i32[rows, L] x2,
+    i32[rows]."""
+    seg = np.asarray(layout.line_to_band)
+    n_lines = np.asarray(layout.n_lines_array, np.int32)
+    line_in_band = np.concatenate(
+        [np.arange(n, dtype=np.int32) for n in layout.n_lines])
+    band_bits = ba_rows * n_lines[None, :]
+    band_start = jnp.cumsum(band_bits, axis=-1) - band_bits
+    width = ba_rows[:, seg]
+    off = band_start[:, seg] + line_in_band[None, :] * width
+    return off, width, jnp.sum(band_bits, axis=-1)
+
+
 @lru_cache(maxsize=16)
 def _chunk_decode_packed_fn(cfg: CodecConfig, n_words: int,
                             precision: str = "f32"):
     """Compact-upload chunk decoder: mantissa codes arrive as fixed-width
     MSB-first u32 word rows (native.repack_codes) instead of u16-per-line
     arrays — ~6x less host->device traffic on the bandwidth-limited link.
-    Per-line bit offsets derive from ba alone (cumsum of band widths), and
-    a Pallas kernel (extract_codes) re-slices the codes on device.
+    Per-line bit offsets derive from ba alone (cumsum of band widths),
+    and the word-tiled Pallas kernel (pallas_ops.extract_codes)
+    re-slices the codes on device.
 
     `(ba i8[B,2,nb], sf i8[B,2,nb], words u32[B,2,n_words],
     overall i8[B,2], lrms bool[B,nb], carry f32[2,half], consts)
@@ -496,15 +518,12 @@ def _chunk_decode_packed_fn(cfg: CodecConfig, n_words: int,
     from pactpu.ops import pallas_ops
     body = decode_body(cfg, precision)
     half = cfg.n_mdct_lines
-    seg = np.asarray(cfg.band_layout.line_to_band)
-
     c = cfg.n_channels
 
     def run(ba, sf, words, overall, lrms, carry, consts):
         b = ba.shape[0]
-        width = ba.astype(jnp.int32)[..., seg].reshape(b * c, half)
-        ends = jnp.cumsum(width, axis=-1)
-        off = ends - width
+        ba_rows = ba.astype(jnp.int32).reshape(b * c, -1)
+        off, width, _ = _line_bit_offsets(ba_rows, cfg.band_layout)
         mant = pallas_ops.extract_codes(
             words.reshape(b * c, -1), off, width).reshape(b, c, half)
         td = body(ba.astype(jnp.int32), sf.astype(jnp.int32), mant,
@@ -533,23 +552,29 @@ def _chunk_decode_flat_fn(cfg: CodecConfig, cap_words: int, n_words: int,
     from pactpu.ops import pallas_ops
     body = decode_body(cfg, precision)
     half = cfg.n_mdct_lines
-    seg = np.asarray(cfg.band_layout.line_to_band)
     c = cfg.n_channels
 
     def run(ba, sf, flat, overall, lrms, carry, consts):
         b = ba.shape[0]
         rows = b * c
-        width = ba.astype(jnp.int32)[..., seg].reshape(rows, half)
-        ends = jnp.cumsum(width, axis=-1)
-        off = ends - width
-        counts = jnp.minimum((ends[:, -1] + 31) // 32, n_words)
-        row_end = jnp.cumsum(counts)
-        row_off = row_end - counts
-        j = jnp.arange(n_words, dtype=jnp.int32)
-        idx = row_off[:, None] + j[None, :]
-        valid = j[None, :] < counts[:, None]
-        words = jnp.where(
-            valid, flat[jnp.clip(idx, 0, cap_words - 1)], jnp.uint32(0))
+        ba_rows = ba.astype(jnp.int32).reshape(rows, -1)
+        off, width, total_bits = _line_bit_offsets(ba_rows,
+                                                   cfg.band_layout)
+        counts = jnp.minimum((total_bits + 31) // 32, n_words)
+        row_off = jnp.cumsum(counts) - counts
+        # re-expand rows with one CONTIGUOUS slice per row (a vmapped
+        # dynamic_slice lowers to a strided-slice gather) — an
+        # elementwise [rows, n_words] index gather measured 2.7 ms per
+        # 512-block chunk, this ~0.1 ms.  The trailing zero pad
+        # guarantees no row's slice is start-clamped (row_off <= cap);
+        # words past a row's count belong to the NEXT row but are
+        # harmless: only a field's final word can be over-read, and
+        # those bits are always shifted out.
+        flatp = jnp.concatenate(
+            [flat, jnp.zeros(n_words, flat.dtype)])
+        words = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(flatp, (s,), (n_words,)))(
+                row_off)
         mant = pallas_ops.extract_codes(words, off, width).reshape(
             b, c, half)
         td = body(ba.astype(jnp.int32), sf.astype(jnp.int32), mant,
@@ -1323,14 +1348,23 @@ class Engine:
         if b_pad > b:
             lrms = np.pad(lrms, ((0, b_pad - b), (0, 0)))
 
+        # dense word upload: ~6x less host->device traffic than
+        # u16-per-line codes, re-sliced on device by the Pallas
+        # extract_codes kernel — the win on a bandwidth-limited link.
+        # PACTPU_DECODE_UPLOAD forces it: "u16" for the plain upload
+        # (the better trade on fast PCIe-class links: ~1.4 ms less device
+        # work per 512-block chunk), "dense" to force word packing;
+        # default follows the backend (dense on TPU, u16 elsewhere —
+        # the kernel needs a real TPU or interpret mode).
         from pactpu.ops import pallas_ops
-        packed = pallas_ops.enabled() and native.available()
+        upload = os.environ.get("PACTPU_DECODE_UPLOAD", "auto")
+        packed = native.available() and (
+            upload == "dense" or (upload != "u16" and pallas_ops.enabled()))
         if packed:
-            # fixed-width word rows instead of u16-per-line codes: ~6x
-            # less upload; the extract_codes kernel re-slices on device.
-            # On top of that, rows compact into ONE flat buffer per chunk
-            # (sized by the chunk TOTAL, ~70 words/row avg) whenever they
-            # fit — mirroring the encode-side dense download.
+            # On top of the word rows, rows compact into ONE flat buffer
+            # per chunk (sized by the chunk TOTAL, ~70 words/row avg)
+            # whenever they fit — mirroring the encode-side dense
+            # download.
             with self._stage("decode/repack-native"):
                 n_lines = np.asarray(cfg.band_layout.n_lines, np.int64)
                 rowbits = (parsed["ba"] * n_lines[None, :]).sum(1)
@@ -1361,7 +1395,10 @@ class Engine:
                             cfg, sz * c * PACK_DENSE_WORDS, n_words,
                             self.precision) for sz in sizes]
             else:
-                mant = d2(rows_pad.reshape(b, c, n_words))
+                # rows_pad is [n_cblocks, n_words] — d2 reshapes/pads it
+                # to [b_pad, c, n_words] (the double-reshape that used to
+                # sit here crashed the dense-overflow fallback)
+                mant = d2(rows_pad)
                 mant_chunks = [mant[offs[k]:offs[k] + sz]
                                for k, sz in enumerate(sizes)]
                 runs = [_chunk_decode_packed_fn(cfg, n_words,

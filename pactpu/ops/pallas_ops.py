@@ -234,39 +234,67 @@ def pack_words(part0: jax.Array, part1: jax.Array, w0: jax.Array,
     return jax.lax.bitcast_convert_type(out[:r], jnp.uint32)
 
 
+_W_TILE = 128  # words per grid step (lane-aligned, Mosaic minimum)
+
+
 def _extract_codes_kernel(words_ref, off_ref, width_ref, out_ref):
     """Slice fixed-width bit fields out of MSB-first u32 word rows.
 
     The decode-side inverse of `pack_words`: for each line, read `width`
     bits at bit offset `off` of the row's word stream (lane gathers
-    serialize on TPU, so word selection is compare-masked accumulation).
-    Every intermediate is an [R_TILE, K_TILE] = (8, 128) tile — the VPU's
-    native (sublane, lane) shape — with the word axis as a static loop of
-    per-row column broadcasts; the earlier formulation built [K_TILE, W]
-    intermediates (128 sublanes) and ran ~4x slower.
+    serialize on TPU — a pure-XLA gather formulation measured 17 ms vs
+    <1 ms for this kernel on a 512-block chunk — so word selection is
+    compare-masked accumulation).  Two structural rules keep it fast:
 
-    words: i32[XR_TILE, W] (u32 bit patterns); off/width: i32[XR_TILE, L];
-    out: i32[XR_TILE, L] extracted codes.
+    - every intermediate is a (rows, K_TILE) = (32, 128) tile, the VPU's
+      native (sublane, lane) orientation — a [K_TILE, W] formulation (128
+      sublanes) ran 2x slower;
+    - the word axis is the LAST GRID DIMENSION (_W_TILE words per step,
+      accumulating into the revisited output block) rather than a fully
+      unrolled in-kernel sweep — unrolling all W=256 words x 8 line
+      tiles in one program blew the instruction stream up (4 ms vs
+      sub-ms); the per-step sweep is a constant 128 words, so program
+      size no longer grows with the row width.
+
+    Because a field's two source words can land in different word tiles,
+    the accumulator holds the pre-shift 32-bit window (bit-disjoint
+    contributions, add == or); the final grid step shifts it down by
+    32 - width.
+
+    words: i32[rows, _W_TILE] block; off/width: i32[rows, L];
+    out: i32[rows, L] (window accumulator, finalized on the last step).
     """
-    w = words_ref.shape[1]
     l = off_ref.shape[1]
     srl = jax.lax.shift_right_logical
+    j = pl.program_id(1)
+    nwt = pl.num_programs(1)
+    base = j * _W_TILE
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
     for s in range(0, l, _K_TILE):
         off = off_ref[:, s:s + _K_TILE]                     # [rows, kt]
-        width = width_ref[:, s:s + _K_TILE]
         w0 = off >> 5
         sh = off & 31
-        val0 = jnp.zeros_like(off)
-        val1 = jnp.zeros_like(off)
-        for wi in range(w):                     # static sweep over words
+        acc = jnp.zeros_like(off)
+        for wi in range(_W_TILE):               # static sweep over words
             wcol = words_ref[:, wi][:, None]                # [rows, 1]
-            val0 = val0 + jnp.where(w0 == wi, wcol, 0)
-            val1 = val1 + jnp.where(w0 == wi - 1, wcol, 0)
-        win = jnp.left_shift(val0, sh) | jnp.where(
-            sh > 0, srl(val1, jnp.minimum(32 - sh, 31)), 0)
-        code = jnp.where(
-            width > 0, srl(win, jnp.minimum(32 - width, 31)), 0)
-        out_ref[:, s:s + _K_TILE] = code
+            acc = acc | jnp.where(w0 == base + wi,
+                                  jnp.left_shift(wcol, sh), 0)
+            acc = acc | jnp.where(
+                (w0 == base + wi - 1) & (sh > 0),
+                srl(wcol, jnp.minimum(32 - sh, 31)), 0)
+        out_ref[:, s:s + _K_TILE] |= acc
+
+    @pl.when(j == nwt - 1)
+    def _finalize():
+        for s in range(0, l, _K_TILE):
+            width = width_ref[:, s:s + _K_TILE]
+            win = out_ref[:, s:s + _K_TILE]
+            out_ref[:, s:s + _K_TILE] = jnp.where(
+                width > 0, srl(win, jnp.minimum(32 - width, 31)), 0)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -279,28 +307,32 @@ def extract_codes(words: jax.Array, off: jax.Array, width: jax.Array,
     r, w = words.shape
     l = off.shape[1]
     assert l % _K_TILE == 0, l
-    # wider row tile than the other kernels: the per-word sweep is a few
-    # cheap (rows, 128) ops, so more rows per grid program amortize the
-    # grid/pipeline overhead
-    xr_tile = 32
+    xr_tile = 32           # wide row tile: the sweep body is cheap
     pad_r = (-r) % xr_tile
+    pad_w = (-w) % _W_TILE
     rp = r + pad_r
     if words.dtype == jnp.uint32:
         words = jax.lax.bitcast_convert_type(words, jnp.int32)
 
-    def pad(a):
-        return jnp.pad(a.astype(jnp.int32), ((0, pad_r), (0, 0)))
+    def pad(a, pw=0):
+        return jnp.pad(a.astype(jnp.int32), ((0, pad_r), (0, pw)))
 
-    row = lambda n: pl.BlockSpec((xr_tile, n), lambda i: (i, 0),  # noqa: E731
-                                 memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _extract_codes_kernel,
-        grid=(rp // xr_tile,),
-        in_specs=[row(w), row(l), row(l)],
-        out_specs=row(l),
+        grid=(rp // xr_tile, (w + pad_w) // _W_TILE),
+        in_specs=[
+            pl.BlockSpec((xr_tile, _W_TILE), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((xr_tile, l), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((xr_tile, l), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((xr_tile, l), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rp, l), jnp.int32),
         interpret=interpret,
-    )(pad(words), pad(off), pad(width))
+    )(pad(words, pad_w), pad(off), pad(width))
     return out[:r]
 
 

@@ -5,6 +5,7 @@ kernel computes the same expression, differing only in float summation
 order.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -111,7 +112,9 @@ def test_pack_words_kernel_matches_scatter():
 
 def test_repack_extract_codes_roundtrip():
     """native.repack_codes -> extract_codes (interpret) reproduces the
-    mantissa codes exactly (untransmitted lines -> 0)."""
+    mantissa codes exactly (untransmitted lines -> 0), including fields
+    spanning word-tile boundaries (the kernel grids over 32-word tiles
+    and accumulates the pre-shift window across them)."""
     from pactpu import native
     from pactpu.ops import pallas_ops as po
     from pactpu.utils.config import CodecConfig
@@ -141,10 +144,17 @@ def test_repack_extract_codes_roundtrip():
     np.testing.assert_array_equal(np.asarray(out), mant)
 
 
-def test_engine_packed_decode_matches(monkeypatch):
-    """The compact-upload decode path (repack_codes + extract_codes)
-    produces the identical PCM as the plain path."""
+def _interpret_extract(monkeypatch):
     import pactpu.ops.pallas_ops as po
+    real = po.extract_codes
+    monkeypatch.setattr(po, "extract_codes",
+                        lambda *a, **k: real(*a, interpret=True, **k))
+
+
+def test_engine_packed_decode_matches(monkeypatch):
+    """The dense-word upload decode path (PACTPU_DECODE_UPLOAD=dense,
+    repack_codes + extract_codes) produces the identical PCM as the
+    u16-per-line path the CPU backend defaults to."""
     from pactpu import native
     from pactpu.codec.engine import Engine
 
@@ -157,11 +167,37 @@ def test_engine_packed_decode_matches(monkeypatch):
     stream = eng.encode(pcm)
     fs, gold = eng.decode(stream)
 
-    real = po.extract_codes
-    monkeypatch.setattr(po, "enabled", lambda: True)
-    monkeypatch.setattr(po, "extract_codes",
-                        lambda *a, **k: real(*a, interpret=True, **k))
+    _interpret_extract(monkeypatch)
+    monkeypatch.setenv("PACTPU_DECODE_UPLOAD", "dense")
     fs2, out = Engine(rate_mode="cbr").decode(stream)
+    assert fs2 == fs
+    np.testing.assert_array_equal(out, gold)
+
+
+def test_packed_decode_dense_overflow_fallback(monkeypatch):
+    """At 4.93 bps the per-chunk payload exceeds the dense-download cap,
+    forcing the padded-word-rows fallback — the branch whose latent
+    double-reshape crashed the first time this path ran (fixed; this
+    test pins it)."""
+    import dataclasses as dc
+
+    from pactpu import native
+    from pactpu.codec.engine import Engine
+    from pactpu.utils.config import CodecConfig
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    cfg = dc.replace(CodecConfig(), target_bits_per_sample=4.93)
+    rng = np.random.default_rng(11)
+    pcm = np.clip(rng.standard_normal((1024 * 87, 2)) * 20000, -32767,
+                  32767).astype(np.int16)
+    eng = Engine(cfg=cfg, rate_mode="cbr")
+    stream = eng.encode(pcm)
+    fs, gold = eng.decode(stream)               # u16 path (CPU default)
+
+    _interpret_extract(monkeypatch)
+    monkeypatch.setenv("PACTPU_DECODE_UPLOAD", "dense")
+    fs2, out = Engine(cfg=cfg, rate_mode="cbr").decode(stream)
     np.testing.assert_array_equal(out, gold)
 
 
