@@ -55,6 +55,23 @@ def _measure() -> None:
     for pcm in inputs:
         eng.decode(eng.encode(pcm))
 
+    # pure device compute (tunnel-independent): the chip's own blocks/s
+    # with inputs device-resident and one blocking fetch — the
+    # speed-of-light figure for the kernels themselves (PERF.md).
+    # Measured BEFORE the serving reps (their bulk transfers leave the
+    # tunnel's dispatch queue draining for a while) and on the MAIN
+    # thread: async dispatch from a worker thread degrades to one
+    # blocking round trip per enqueue on this tunnel (measured ~9 ms per
+    # dispatch vs sub-ms inline), which turns the 0.2 ms encode chain
+    # into 47 ms.  A wedge here is caught by the parent process
+    # watchdog like any other stage.
+    device_compute = None
+    try:
+        from pactpu.utils.devbench import measure_device_compute
+        device_compute = measure_device_compute(inputs[0], 512, 20, eng)
+    except Exception:  # noqa: BLE001 — optional diagnostic field
+        pass
+
     # Time each rep separately and report the best one: the remote-TPU
     # tunnel's throughput swings several-fold minute to minute (measured
     # 25 -> 63 ms RTT and 40 -> 12 MB/s within half an hour, with
@@ -92,23 +109,6 @@ def _measure() -> None:
     eng.roundtrip_many(inputs)  # warm
     batch_dts = timed_reps(lambda: eng.roundtrip_many(inputs), budget_s=90)
     batch_blocks_per_s = rep_blocks / min(batch_dts)
-
-    # pure device compute (tunnel-independent): the chip's own blocks/s
-    # with inputs device-resident and one blocking fetch — the
-    # speed-of-light figure for the kernels themselves (PERF.md).  Run
-    # under a thread watchdog so a mid-run tunnel wedge costs this field,
-    # not the whole benchmark.
-    device_compute = None
-    try:
-        from concurrent.futures import ThreadPoolExecutor
-
-        from pactpu.utils.devbench import measure_device_compute
-        pool = ThreadPoolExecutor(max_workers=1)
-        fut = pool.submit(measure_device_compute, inputs[0], 512, 20, eng)
-        device_compute = fut.result(timeout=180)
-        pool.shutdown(wait=False)
-    except Exception:  # noqa: BLE001 — optional diagnostic field
-        pass
 
     # reference-semantics baseline on a short slice (~40 blocks)
     slice_pcm = inputs[0][: 40 * half]
