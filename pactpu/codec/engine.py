@@ -587,6 +587,44 @@ def _chunk_decode_flat_fn(cfg: CodecConfig, cap_words: int, n_words: int,
     return jax.jit(run)
 
 
+_PAYLOAD_WORD_BUCKETS = (32, 64, 96, 128, 192, 256, 384, 512, 768, 1024)
+
+
+@lru_cache(maxsize=16)
+def _chunk_decode_payload_fn(cfg: CodecConfig, huff: bool,
+                             precision: str = "f32"):
+    """Fully device-native chunk decoder: the RAW payload word rows (the
+    compressed bytes themselves, framed by pactpu.ops.huffman_decode.
+    frame_rows) upload and the batched Huffman bit-walk + side-info parse
+    run on device, chained straight into synthesis + overlap-add — no
+    host parse, no repack, and ~2x less upload than the dense-word path
+    (the raw payload vs fixed-width repacked codes).
+
+    `(words u32[B*c, W], nbits i32[B*c], lut dict|None, carry f32[c,half],
+    consts) -> (pcm i16[B, c, half], carry', bad bool[B*c])`; the engine
+    folds `bad` into the single PCM fetch and raises like the host parser
+    (reference codec/Huffman.py:321-344 corruption behavior)."""
+    from pactpu.ops import huffman_decode as hd
+    parse = hd.parse_rows_body(cfg, huff)
+    body = decode_body(cfg, precision)
+    half = cfg.n_mdct_lines
+    c = cfg.n_channels
+
+    def run(words, nbits, lut, carry, consts):
+        p = parse(words, nbits, lut)
+        b = words.shape[0] // c
+        td = body(p["ba"].reshape(b, c, -1), p["sf"].reshape(b, c, -1),
+                  p["mant"].reshape(b, c, half),
+                  p["overall"].reshape(b, c),
+                  p["lrms"].reshape(b, c, -1)[:, -1] != 0, consts)
+        first, second = td[:, :, :half], td[:, :, half:]
+        prev_second = jnp.concatenate([carry[None], second[:-1]], axis=0)
+        ola = prev_second + first
+        return q_ops.float_to_pcm16(ola), second[-1], p["bad"]
+
+    return jax.jit(run)
+
+
 @lru_cache(maxsize=16)
 def _chunk_decode_fn(cfg: CodecConfig, precision: str = "f32"):
     """Compact-I/O chunk decoder: `(ba i8[B,2,nb], sf i8[B,2,nb],
@@ -1305,11 +1343,24 @@ class Engine:
         return [self._decode_finish(*s) for s in staged]
 
     def _decode_staging(self, data: bytes):
-        """Host half of a decode dispatch: parse the stream, repack codes
-        and select the chunk programs — everything up to (but not
-        including) the device uploads.  Split out so the device-compute
-        benchmark (pactpu.utils.devbench) can iterate the exact programs
-        `_decode_dispatch` runs on device-resident inputs."""
+        """Host half of a decode dispatch: frame (or parse) the stream and
+        select the chunk programs — everything up to (but not including)
+        the device uploads.  Split out so the device-compute benchmark
+        (pactpu.utils.devbench) can iterate the exact programs
+        `_decode_dispatch` runs on device-resident inputs.
+
+        Returns (cfg, num_samples, b, c, sizes, offs, runs, chunk_args):
+        `runs[k](*chunk_args[k] uploaded, carry, consts)` -> (pcm16,
+        carry'[, bad]).
+
+        Parse placement (PACTPU_DECODE_PARSE = auto | device | host):
+        "device" runs the batched Huffman bit-walk on the accelerator
+        (pactpu.ops.huffman_decode) — the raw compressed payload is the
+        upload and the host only frames byte rows; "host" parses in
+        native C++ (csrc/wakbits.cc) and uploads quantized arrays.  auto
+        = device on TPU backends (end-to-end device-native decode, ~2x
+        less upload) and anywhere the native library is unavailable
+        (the PACTPU_NO_NATIVE contract); host otherwise."""
         cfg, num_samples, off = rc.read_header(data)
         if cfg.window != self.cfg.window:
             # the stream format carries no window field; synthesis follows
@@ -1320,6 +1371,76 @@ class Engine:
         half = cfg.n_mdct_lines
         c = cfg.n_channels
         huff = self.fmt == "wak"
+
+        parse_env = os.environ.get("PACTPU_DECODE_PARSE", "auto")
+        if parse_env not in ("auto", "device", "host"):
+            raise ValueError(f"PACTPU_DECODE_PARSE={parse_env!r}: "
+                             "expected auto, device or host")
+        want_device = parse_env == "device" or (
+            parse_env == "auto"
+            and (jax.default_backend().startswith("tpu")
+                 or not native.available()))
+        if want_device:
+            staged = self._decode_staging_device_parse(
+                data, off, cfg, num_samples, huff)
+            if staged is not None:
+                return staged
+            if parse_env == "device":
+                raise ValueError(
+                    "PACTPU_DECODE_PARSE=device: this stream/table set "
+                    "does not fit the device parser (oversized rows or "
+                    "Huffman codes beyond the LUT cap)")
+        return self._decode_staging_host_parse(
+            data, off, cfg, num_samples, huff)
+
+    def _decode_staging_device_parse(self, data: bytes, off: int, cfg,
+                                     num_samples: int, huff: bool):
+        """Stage a device-parse decode: frame the raw payload into word
+        rows; the chunk program does everything else.  Returns None when
+        the stream/table set needs the host parser (rows wider than the
+        largest bucket, or code lengths past the LUT cap)."""
+        from pactpu.ops import huffman_decode as hd
+        half = cfg.n_mdct_lines
+        c = cfg.n_channels
+        lut = None
+        if huff:
+            lut = hd.device_lut(self.tables)
+            if lut is None:
+                return None
+        with self._stage("decode/frame-rows"):
+            words, nbits = hd.frame_rows(
+                data[off:], word_cap=_PAYLOAD_WORD_BUCKETS[-1])
+        if words is None:
+            return None
+        rows = words.shape[0]
+        if rows % c:
+            raise ValueError(
+                f"corrupt payload: {rows} channel-blocks for "
+                f"{c} channels")
+        w_bucket = next(w for w in _PAYLOAD_WORD_BUCKETS
+                        if w >= words.shape[1])
+        b = rows // c
+        chunk = self._chunk(b)
+        sizes = _chunk_sizes(b, chunk)
+        offs = _offsets(sizes)
+        b_pad = offs[-1]
+        words = np.pad(words, ((0, (b_pad - b) * c),
+                               (0, w_bucket - words.shape[1])))
+        nbits = np.pad(nbits, (0, (b_pad - b) * c))
+        run = _chunk_decode_payload_fn(cfg, huff, self.precision)
+        chunk_args = []
+        for k, sz in enumerate(sizes):
+            i, j = offs[k] * c, (offs[k] + sz) * c
+            chunk_args.append((words[i:j], nbits[i:j], lut))
+        return (cfg, num_samples, b, c, sizes, offs,
+                [run] * len(sizes), chunk_args)
+
+    def _decode_staging_host_parse(self, data: bytes, off: int, cfg,
+                                   num_samples: int, huff: bool):
+        """Stage a host-parse decode (native C++ bit-walk + quantized-array
+        or packed-word uploads)."""
+        half = cfg.n_mdct_lines
+        c = cfg.n_channels
         with self._stage("decode/parse-native"):
             parsed = native.unpack_file(
                 data[off:], np.asarray(cfg.band_layout.n_lines, np.int32),
@@ -1408,41 +1529,62 @@ class Engine:
             mant_chunks = [mant[offs[k]:offs[k] + sz]
                            for k, sz in enumerate(sizes)]
             runs = [_chunk_decode_fn(cfg, self.precision)] * len(sizes)
-        return (cfg, num_samples, b, c, sizes, offs, runs,
-                (ba, sf, overall, lrms, mant_chunks))
+        chunk_args = []
+        for k, sz in enumerate(sizes):
+            i, j = offs[k], offs[k] + sz
+            chunk_args.append((ba[i:j], sf[i:j], mant_chunks[k],
+                               overall[i:j], lrms[i:j]))
+        return cfg, num_samples, b, c, sizes, offs, runs, chunk_args
 
     def _decode_dispatch(self, data: bytes):
-        """Async half of decode: parse, repack, upload, dispatch; returns
-        the staged state for `_decode_finish` without blocking on device
+        """Async half of decode: stage, upload, dispatch; returns the
+        staged state for `_decode_finish` without blocking on device
         results."""
         (cfg, num_samples, b, c, sizes, offs, runs,
-         (ba, sf, overall, lrms, mant_chunks)) = self._decode_staging(data)
+         chunk_args) = self._decode_staging(data)
         half = cfg.n_mdct_lines
         consts = self.consts()
-        pcm_chunks = []
+        pcm_chunks, bad_chunks = [], []
         carry = jnp.zeros((c, half), _dtype(self.precision))
         with self._stage("decode/upload+dispatch"):
             for k, sz in enumerate(sizes):
-                i, j = offs[k], offs[k] + sz
-                pcm16, carry = runs[k](
-                    jnp.asarray(ba[i:j]),
-                    jnp.asarray(sf[i:j]),
-                    jnp.asarray(mant_chunks[k]),
-                    jnp.asarray(overall[i:j]),
-                    jnp.asarray(lrms[i:j]), carry, consts)
-                pcm_chunks.append(pcm16)
+                args = [a if (a is None or isinstance(a, dict))
+                        else jnp.asarray(a) for a in chunk_args[k]]
+                res = runs[k](*args, carry, consts)
+                pcm_chunks.append(res[0])
+                carry = res[1]
+                if len(res) > 2:
+                    bad_chunks.append(res[2])
             # the final-flush half (reference pacfile.py:171-178) is the
             # carry when every block was real, else the OLA of the first
             # padded block — appending the carry row on device unifies
             # both and keeps the download a SINGLE fetch
             tail = q_ops.float_to_pcm16(carry)[None]
-            ola_dev = jnp.concatenate(pcm_chunks + [tail])[:b + 1]
-        return cfg, num_samples, b, c, ola_dev
+            rows = pcm_chunks + [tail]
+            rows = [jnp.concatenate(rows)[:b + 1]]
+            if bad_chunks:
+                # device-parse corruption flags ride the SAME fetch as the
+                # PCM: one extra row carrying (any_bad, first_bad_row)
+                bad = jnp.concatenate(bad_chunks)[:b * c]
+                flags = jnp.zeros((1, c, half), jnp.int16)
+                flags = flags.at[0, 0, 0].set(
+                    bad.any().astype(jnp.int16))
+                flags = flags.at[0, 0, 1].set(jnp.minimum(
+                    jnp.argmax(bad), 32767).astype(jnp.int16))
+                rows.append(flags)
+            ola_dev = jnp.concatenate(rows) if len(rows) > 1 else rows[0]
+        return cfg, num_samples, b, c, bool(bad_chunks), ola_dev
 
-    def _decode_finish(self, cfg, num_samples, b, c, ola_dev):
+    def _decode_finish(self, cfg, num_samples, b, c, has_flags, ola_dev):
         """Blocking half of decode: the single PCM fetch + reshaping."""
         with self._stage("decode/download"):
             ola = np.asarray(ola_dev)
+        if has_flags:
+            flags = ola[-1]
+            if flags[0, 0]:
+                raise ValueError(
+                    f"corrupt payload at channel-block {int(flags[0, 1])}")
+            ola = ola[:-1]
         # reference driver: drop block 0 (MDCT delay), keep the flush row
         audio = ola[1:b + 1]
         pcm = audio.transpose(1, 0, 2).reshape(c, -1).T[:num_samples].copy()

@@ -5,12 +5,29 @@ pipeline through this container's host<->device tunnel, whose round trips
 (25-60 ms) and bandwidth (10-50 MB/s, with multi-second stalls) bound them
 far below the chip itself (PERF.md).  This module measures what the chip
 sustains on the compute alone — the BASELINE.json "blocks/s/chip at
-speed-of-light" figure for the kernels: it enqueues `iters` repetitions of
-the engine's own jitted chunk programs (the SAME lru-cached functions
-`Engine._encode_chunks`/`_decode_dispatch` call) on device-resident
-inputs and blocks exactly once at the end, so host round trips and
-transfers amortize to ~zero.  On production hardware (PCIe/ICI host
-links) the serving path approaches these numbers.
+speed-of-light" figure for the kernels.
+
+Measurement method (round 4): every stage is driven by ONE jitted
+`lax.fori_loop` harness that repeats the stage `iters` times *inside a
+single XLA program*, so per-dispatch tunnel latency cannot pollute the
+figure.  Earlier rounds enqueued the stage programs individually and
+blocked once; that is the production dispatch shape, but through this
+tunnel each enqueue is a tunnel message whose latency swings 0.2-9 ms
+with link weather — the round-3 driver capture recorded 46 ms for a
+chain PERF.md measured at 3.6 ms (VERDICT r3 weak #1).  The loop harness
+removes the dispatch variable entirely: wall time / iters is device time.
+
+To stop XLA from hoisting the loop-invariant stage out of the loop (or
+dead-code-eliminating it), each iteration's input is perturbed by a
+dynamic float `eps` derived from the previous iteration's OUTPUT as
+`v - v` — exactly 0.0 at runtime, but float subtraction is not
+algebraically foldable (NaN/inf semantics), so the compiler must chain
+the iterations sequentially and recompute the stage each trip.
+
+FLOP accounting: each stage's single-shot program is compiled and XLA's
+own `cost_analysis()` FLOP estimate recorded, giving measured FLOP/s and
+model FLOP utilization (MFU) against the chip peak — the BASELINE.json
+"speed-of-light" claim made checkable (VERDICT r3 missing #3).
 
 The reference has no analogue (its driver is wall-clock only, reference
 codec/pacfile.py:428,501-503).
@@ -23,13 +40,83 @@ from typing import Optional
 
 import numpy as np
 
+# Peak dense-matmul throughput per chip, FLOP/s.  The codec's hot matmuls
+# (MDCT/IMDCT basis, psych spreading) run in f32; on v5e the MXU is
+# natively bf16 (197 TFLOP/s) and f32 multiplies decompose to ~3 bf16
+# passes, so the realistic f32 ceiling is ~1/3 of bf16 peak.  Both are
+# reported so MFU is unambiguous.
+PEAK_BF16_FLOPS = 197e12
+PEAK_F32_FLOPS = PEAK_BF16_FLOPS / 3
+
+
+def _program_flops(fn, *args) -> Optional[float]:
+    """XLA's own FLOP estimate for one invocation of a jitted fn."""
+    try:
+        compiled = fn.lower(*args).compile()
+        total = 0.0
+        for ca in compiled.cost_analysis() if isinstance(
+                compiled.cost_analysis(), list) else [
+                    compiled.cost_analysis()]:
+            total += float(ca.get("flops", 0.0))
+        return total or None
+    except Exception:  # noqa: BLE001 — diagnostic only
+        return None
+
+
+def _time_loop(stage, feedback, iters: int) -> float:
+    """Seconds per iteration of `stage`, measured inside one jitted
+    fori_loop, observed by DOWNLOADING the final carry — on this axon
+    backend `block_until_ready` acks the enqueue without waiting for
+    remote execution (measured: a blocking 137-GFLOP matmul "completed"
+    in 0.09 ms), so only a host fetch of output data marks completion.
+
+    stage:    eps (f32 scalar, dynamically 0.0) -> output pytree; must
+              thread eps into its inputs so iterations chain.
+    feedback: output pytree -> f32 scalar that is 0.0 at runtime but
+              data-dependent (use `_f0`: `v - v` on a FULL float
+              reduction, so slice-simplification cannot shrink the
+              stage to the one element the carry reads).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(n, eps0):
+        return jax.lax.fori_loop(
+            0, n, lambda i, eps: feedback(stage(eps)), eps0)
+
+    eps0 = jnp.float32(0.0)
+    float(np.asarray(run(jnp.int32(1), eps0)))         # compile + warm
+
+    def timed(n):
+        t0 = time.perf_counter()
+        float(np.asarray(run(jnp.int32(n), eps0)))
+        return time.perf_counter() - t0
+
+    # two trip counts; the slope removes the constant dispatch + fetch
+    # round-trip cost from the per-iteration figure
+    n_lo = max(2, iters // 4)
+    t_lo = min(timed(n_lo) for _ in range(2))
+    t_hi = min(timed(n_lo + iters) for _ in range(2))
+    return max(t_hi - t_lo, 1e-9) / iters
+
+
+def _f0(a):
+    """Dynamic zero depending on EVERY element of `a` (not foldable:
+    float x - x has NaN/inf semantics, and the full-sum reduction blocks
+    XLA's slice-of-producer simplifications from deleting the work)."""
+    import jax.numpy as jnp
+    v = jnp.sum(a.astype(jnp.float32))
+    return v - v
+
 
 def measure_device_compute(pcm: Optional[np.ndarray] = None,
                            blocks: int = 512, iters: int = 20,
                            eng=None) -> dict:
     """Returns blocks/s of the encode compute chain, the decode compute
-    chain, and the serial encode+decode roundtrip, measured with all
-    inputs device-resident and one blocking fetch per measurement.
+    chain, and the serial encode+decode roundtrip, each stage measured by
+    its own fori_loop harness (dispatch-latency-immune), with per-stage
+    milliseconds and XLA-counted FLOPs.
 
     `pcm` (int16 [n, 2]) supplies realistic payload statistics; it is
     cropped/tiled to exactly `blocks` coded blocks (one chunk)."""
@@ -57,7 +144,10 @@ def measure_device_compute(pcm: Optional[np.ndarray] = None,
         pcm = pcm[:n]
 
     # --- encode compute: the exact reservoir-mode dispatch chain of
-    # Engine._encode_chunks on ONE device-resident chunk ---
+    # Engine._encode_chunks on ONE device-resident chunk.  The production
+    # engine enqueues these as FIVE separate programs (merging them into
+    # one XLA program measured 12x slower, PERF.md); each is measured by
+    # its own loop harness and the chain time is the per-stage sum.
     glob = np.zeros((c, (blocks + 1) * half), np.int16)
     glob[:, half:half + n] = pcm.T
     dev_pcm = jax.device_put(jnp.asarray(glob))
@@ -72,60 +162,103 @@ def measure_device_compute(pcm: Optional[np.ndarray] = None,
     carry0 = jnp.zeros(2, jnp.int32)
     dense_cap = blocks * c * E.PACK_DENSE_WORDS
 
-    # the same five dispatches the engine enqueues — NOT fused into one
-    # jit: merging the stages into a single XLA program measured 12x
-    # SLOWER on the TPU (43 ms vs 3.6 ms per 512-block chunk; the merged
-    # program keeps the whole analysis live across the rate/entropy tail
-    # and schedules it much worse than the five independently-optimized
-    # programs).  The multi-dispatch chain is also the production shape.
-    def encode_once():
-        a = analyze(dev_pcm, consts)
-        m = measure(a, zeros, consts)
-        ex, _ = scan(m["savings"], m["leftover"], valid, carry0)
-        out = finalize(a, ex, consts)
-        if "words" in out:
-            return E.pack_ops.compact_rows(out["words"], out["nbits"],
-                                           dense_cap)
-        return out["nbits"]
+    # device-resident intermediates for the per-stage harnesses
+    a_dev = jax.block_until_ready(analyze(dev_pcm, consts))
+    m_dev = jax.block_until_ready(measure(a_dev, zeros, consts))
+    ex_dev, _ = scan(m_dev["savings"], m_dev["leftover"], valid, carry0)
+    out_dev = jax.block_until_ready(finalize(a_dev, ex_dev, consts))
 
-    jax.block_until_ready(encode_once())          # compile + warm
-    t0 = time.perf_counter()
-    last = None
-    for _ in range(iters):
-        last = encode_once()
-    jax.block_until_ready(last)
-    dt_enc = time.perf_counter() - t0
+    def perturb_analysis(eps):
+        a = dict(a_dev)
+        a["mixed"] = a["mixed"] + eps.astype(a["mixed"].dtype)
+        return a
+
+    stages = {
+        "analyze": (
+            lambda eps: analyze(dev_pcm + eps.astype(jnp.int16), consts),
+            lambda out: _f0(out["mixed"])),
+        "measure": (
+            lambda eps: measure(perturb_analysis(eps), zeros, consts),
+            lambda out: _f0(out["savings"].astype(jnp.float32))),
+        "reservoir_scan": (
+            lambda eps: scan(m_dev["savings"]
+                             + eps.astype(m_dev["savings"].dtype),
+                             m_dev["leftover"], valid, carry0),
+            lambda out: _f0(out[0])),
+        "finalize": (
+            lambda eps: finalize(perturb_analysis(eps), ex_dev, consts),
+            lambda out: _f0((out["words"] if "words" in out
+                             else out["codes"]).astype(jnp.float32))),
+    }
+    flop_args = {
+        "analyze": (analyze, dev_pcm, consts),
+        "measure": (measure, a_dev, zeros, consts),
+        "reservoir_scan": (scan, m_dev["savings"], m_dev["leftover"],
+                           valid, carry0),
+        "finalize": (finalize, a_dev, ex_dev, consts),
+    }
+    if "words" in out_dev:
+        compact = jax.jit(lambda w, nb: E.pack_ops.compact_rows(
+            w, nb, dense_cap))
+        stages["compact"] = (
+            lambda eps: compact(out_dev["words"]
+                                + eps.astype(jnp.uint32),
+                                out_dev["nbits"]),
+            lambda out: _f0(out.astype(jnp.float32)))
+        flop_args["compact"] = (compact, out_dev["words"], out_dev["nbits"])
+
+    stage_ms, stage_flops = {}, {}
+    for name, (stage, feedback) in stages.items():
+        stage_ms[name] = 1000 * _time_loop(stage, feedback, iters)
+        stage_flops[name] = _program_flops(*flop_args[name])
+    dt_enc = sum(stage_ms.values()) / 1000
 
     # --- decode compute: the exact chunk programs _decode_dispatch runs,
     # on the device-resident uploads of a real encoded stream ---
     stream = eng.encode(pcm)
     (dcfg, _, b, cc, sizes, offs, runs,
-     (ba, sf, overall, lrms, mant_chunks)) = eng._decode_staging(stream)
+     chunk_args) = eng._decode_staging(stream)
     assert b == blocks and len(sizes) == 1, (b, sizes)
-    args = [jax.device_put(jnp.asarray(a))
-            for a in (ba, sf, mant_chunks[0], overall, lrms)]
+    args = [a if (a is None or isinstance(a, dict))
+            else jax.device_put(jnp.asarray(a)) for a in chunk_args[0]]
     dcarry = jnp.zeros((cc, half), E._dtype(eng.precision))
+    # the first positional is the payload/mantissa carrier in every decode
+    # staging variant's arg tuple with an integer dtype — perturb it
+    pi = next(i for i, a in enumerate(args)
+              if a is not None and not isinstance(a, dict))
 
-    def decode_once():
-        pcm16, _ = runs[0](*args, dcarry, consts)
-        return pcm16
+    def decode_stage(eps):
+        a2 = list(args)
+        a2[pi] = a2[pi] + eps.astype(a2[pi].dtype)
+        return runs[0](*a2, dcarry, consts)
 
-    jax.block_until_ready(decode_once())
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        last = decode_once()
-    jax.block_until_ready(last)
-    dt_dec = time.perf_counter() - t0
+    stage_ms["decode"] = 1000 * _time_loop(
+        decode_stage, lambda out: _f0(out[0].astype(jnp.float32)), iters)
+    stage_flops["decode"] = _program_flops(runs[0], *args, dcarry, consts)
+    dt_dec = stage_ms["decode"] / 1000
 
-    enc = blocks * iters / dt_enc
-    dec = blocks * iters / dt_dec
-    return {
+    enc_flops = sum(v for k, v in stage_flops.items()
+                    if k != "decode" and v)
+    dec_flops = stage_flops.get("decode") or 0.0
+    out = {
         "blocks": blocks,
         "iters": iters,
-        "encode_blocks_per_s": round(enc, 1),
-        "decode_blocks_per_s": round(dec, 1),
-        "roundtrip_blocks_per_s": round(
-            blocks * iters / (dt_enc + dt_dec), 1),
-        "encode_ms_per_chunk": round(1000 * dt_enc / iters, 3),
-        "decode_ms_per_chunk": round(1000 * dt_dec / iters, 3),
+        "method": "fori_loop harness (dispatch-latency-immune)",
+        "encode_blocks_per_s": round(blocks / dt_enc, 1),
+        "decode_blocks_per_s": round(blocks / dt_dec, 1),
+        "roundtrip_blocks_per_s": round(blocks / (dt_enc + dt_dec), 1),
+        "encode_ms_per_chunk": round(1000 * dt_enc, 3),
+        "decode_ms_per_chunk": round(1000 * dt_dec, 3),
+        "stage_ms": {k: round(v, 3) for k, v in stage_ms.items()},
+        "stage_gflops": {k: (round(v / 1e9, 2) if v else None)
+                         for k, v in stage_flops.items()},
     }
+    if enc_flops:
+        out["encode_mfu_f32_pct"] = round(
+            100 * enc_flops / dt_enc / PEAK_F32_FLOPS, 2)
+        out["encode_gflops_per_s"] = round(enc_flops / dt_enc / 1e9, 1)
+    if dec_flops:
+        out["decode_mfu_f32_pct"] = round(
+            100 * dec_flops / dt_dec / PEAK_F32_FLOPS, 2)
+        out["decode_gflops_per_s"] = round(dec_flops / dt_dec / 1e9, 1)
+    return out
