@@ -126,6 +126,12 @@ def _measure() -> None:
         "vs_baseline": round(blocks_per_s / ref_blocks_per_s, 2),
         "batch_api_value": round(batch_blocks_per_s, 2),
         "mean_value": round(mean_blocks_per_s, 2),
+        # methodology, in-band so cross-round readers can't misread the
+        # fields (ADVICE r3): "value" is the BEST serial rep under the
+        # time budget (the engine's demonstrated capability on a link
+        # whose weather swings several-fold, as in rounds 2-3);
+        # "mean_value" is the all-reps mean for apples-to-apples checks
+        "value_is": "best_of_reps",
         "reps": len(serial_dts),
         "device_compute": device_compute,
     }))

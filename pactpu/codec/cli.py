@@ -19,7 +19,8 @@ Mono WAVs encode as single-channel streams (header nChannels=1); the
 channel count and sample rate always follow the input file.
 
 `--rate exact` replays the reference's sequential reservoir trajectory
-(stereo-only: mono has no golden reference); with `--f64` the output
+(mono included — equality tested against the f64 oracle, which the
+reference ships no mono goldens for); with `--f64` the output
 byte-reproduces a serial reference encode, which `--golden REF.wak`
 verifies against a golden file.
 """
@@ -305,8 +306,33 @@ def cmd_batch(args) -> int:
         common = dict(cfg=cfg, rate_mode=args.rate,
                       segment_blocks=args.segment_blocks,
                       max_retries=args.retries, timeout_s=args.timeout)
+        prior = None
         if os.path.exists(resume_path):
-            prior = jobs.load_failed_job(resume_path)
+            try:
+                prior = jobs.load_failed_job(resume_path)
+            except ValueError as e:
+                # a truncated/corrupt sidecar must not wedge the batch:
+                # set it aside and fall through to a fresh encode
+                # (ADVICE r3)
+                bad = resume_path + ".bad"
+                os.replace(resume_path, bad)
+                print(f"{path}: ignoring corrupt resume checkpoint "
+                      f"({e}); moved to {bad}", file=sys.stderr)
+            if prior is not None:
+                # refuse to resume into an inconsistent stream: the saved
+                # header/parts were produced under the saved fingerprint
+                want = jobs.job_fingerprint(cfg, wav.samples)
+                have = (prior.meta or {}).get("fingerprint", {})
+                if have and have != want:
+                    diff = {k: (have.get(k), want.get(k))
+                            for k in set(have) | set(want)
+                            if have.get(k) != want.get(k)}
+                    print(f"{path}: resume checkpoint was written with "
+                          f"different settings/input {diff}; starting "
+                          f"fresh", file=sys.stderr)
+                    os.remove(resume_path)
+                    prior = None
+        if prior is not None:
             print(f"{path}: resuming from sample {prior.resume_offset} "
                   f"({resume_path})")
             res = jobs.resume_encode_job(prior, wav.samples, **common)
@@ -322,7 +348,8 @@ def cmd_batch(args) -> int:
             print(f"{path} -> {out}: {len(res.stream)} bytes{retry_note}")
         else:
             failed += 1
-            jobs.save_failed_job(res, resume_path)
+            jobs.save_failed_job(res, resume_path, cfg=cfg,
+                                 pcm=wav.samples)
             print(f"{path}: FAILED after {res.retries} retries — "
                   f"{res.error}; saved {resume_path}, rerun to resume "
                   f"from sample {res.resume_offset}", file=sys.stderr)
@@ -360,7 +387,7 @@ def main(argv=None) -> int:
     enc.add_argument("--f64", action="store_true",
                      help="float64 analysis (with --rate exact: "
                           "byte-reproduces a serial reference encode; "
-                          "stereo-only)")
+                          "mono: oracle-equality)")
     enc.add_argument("--golden", default=None, metavar="REF.wak",
                      help="report byte equality against this golden stream")
     enc.add_argument("--fmt", choices=("wak", "pac"), default="wak")
@@ -376,7 +403,9 @@ def main(argv=None) -> int:
                      default=None, dest="ms_decision",
                      help="per-band L/R-vs-M/S rule: spectral intensity "
                           "(reference) or bitalloc-minimization")
-    enc.add_argument("--alloc-mode", choices=("water_fill", "closed_form"),
+    enc.add_argument("--alloc-mode",
+                     choices=("water_fill", "closed_form", "uniform",
+                              "const_snr", "const_mnr"),
                      default=None, dest="alloc_mode",
                      help="mantissa-bit allocator: reference water-filling "
                           "or kai's closed-form variant")

@@ -234,6 +234,18 @@ def finalize_body(cfg: CodecConfig, two_channel_chain: bool = True,
         # the last channel's leftover flows back to the reservoir
         extra = extra0.astype(dt)
         bits_ch, left = [], None
+        # static loop bound for the legacy greedy allocators: with the
+        # channel chain, a channel's budget never exceeds budget + the
+        # previous channel's full leftover (+ reservoir extras, bounded
+        # by one extra budget in practice) — 4x is a safe static cap
+        legacy_cap = int(4 * max(budget, 1))
+        if cfg.alloc_mode == "const_snr":
+            # per-band peak SPL of the coded lines (MDCT SPL convention
+            # SPL(4 X^2) - 6.02 overall, Q15) — the `peakSPL` argument of
+            # reference BitAllocConstSNR (codec/bitalloc.py:60-90)
+            pk = psycho.band_max(jnp.abs(mixed), layout, fill=0.0)
+            peak_spl = (psycho.spl(4.0 * pk * pk)
+                        - 6.02 * overall[..., None].astype(pk.dtype))
         for ch in range(c):
             total = (jnp.asarray(budget, dt) + extra).astype(jnp.int32)
             if cfg.alloc_mode == "closed_form":
@@ -241,11 +253,21 @@ def finalize_body(cfg: CodecConfig, two_channel_chain: bool = True,
                 # LRMS stop thresholds; leftover = budget - spent
                 bits_c = ba_ops.alloc_closed_form(
                     total, max_mant, n_lines, smr[:, ch])
-                left = total - jnp.sum(bits_c * n_lines[None], axis=1)
+            elif cfg.alloc_mode == "uniform":
+                bits_c = ba_ops.alloc_uniform_batch(
+                    total, max_mant, n_lines, legacy_cap)
+            elif cfg.alloc_mode == "const_snr":
+                bits_c = ba_ops.alloc_const_snr_batch(
+                    total, max_mant, n_lines, peak_spl[:, ch], legacy_cap)
+            elif cfg.alloc_mode == "const_mnr":
+                bits_c = ba_ops.alloc_const_mnr_batch(
+                    total, max_mant, n_lines, smr[:, ch], legacy_cap)
             else:
                 bits_c, left = ba_ops.water_fill(
                     total, max_mant, n_lines, smr[:, ch], lrms,
                     cfg.ms_stop_threshold_db, cfg.lr_stop_threshold_db)
+            if cfg.alloc_mode != "water_fill":
+                left = total - jnp.sum(bits_c * n_lines[None], axis=1)
             bits_ch.append(bits_c)
             if two_channel_chain:
                 extra = left.astype(dt)
@@ -525,7 +547,8 @@ def _chunk_decode_packed_fn(cfg: CodecConfig, n_words: int,
         ba_rows = ba.astype(jnp.int32).reshape(b * c, -1)
         off, width, _ = _line_bit_offsets(ba_rows, cfg.band_layout)
         mant = pallas_ops.extract_codes(
-            words.reshape(b * c, -1), off, width).reshape(b, c, half)
+            words.reshape(b * c, -1), off, width,
+            interpret=not pallas_ops.enabled()).reshape(b, c, half)
         td = body(ba.astype(jnp.int32), sf.astype(jnp.int32), mant,
                   overall.astype(jnp.int32), lrms, consts)
         first, second = td[:, :, :half], td[:, :, half:]
@@ -575,8 +598,9 @@ def _chunk_decode_flat_fn(cfg: CodecConfig, cap_words: int, n_words: int,
         words = jax.vmap(
             lambda s: jax.lax.dynamic_slice(flatp, (s,), (n_words,)))(
                 row_off)
-        mant = pallas_ops.extract_codes(words, off, width).reshape(
-            b, c, half)
+        mant = pallas_ops.extract_codes(
+            words, off, width,
+            interpret=not pallas_ops.enabled()).reshape(b, c, half)
         td = body(ba.astype(jnp.int32), sf.astype(jnp.int32), mant,
                   overall.astype(jnp.int32), lrms, consts)
         first, second = td[:, :, :half], td[:, :, half:]
@@ -888,10 +912,12 @@ class Engine:
         derives from the config."""
         if cfg.n_channels not in (1, 2):
             raise ValueError("n_channels must be 1 or 2")
-        if cfg.n_channels == 1 and self.rate_mode == "exact":
-            raise ValueError("exact mode reproduces the reference's stereo "
-                             "trajectory; mono has no golden reference")
-        if cfg.alloc_mode not in ("water_fill", "closed_form"):
+        # exact mode supports mono: the trajectory is defined by the same
+        # reservoir policy over the single channel chain; equality is
+        # tested against the f64 oracle (which the reference ships no
+        # mono golden artifacts for) — tests/test_exact_mode.py
+        if cfg.alloc_mode not in ("water_fill", "closed_form", "uniform",
+                                  "const_snr", "const_mnr"):
             raise ValueError(f"unknown alloc mode {cfg.alloc_mode!r}")
         if cfg.alloc_mode != "water_fill" and self.rate_mode == "exact":
             raise ValueError("exact mode reproduces the reference's "
@@ -1357,10 +1383,14 @@ class Engine:
         "device" runs the batched Huffman bit-walk on the accelerator
         (pactpu.ops.huffman_decode) — the raw compressed payload is the
         upload and the host only frames byte rows; "host" parses in
-        native C++ (csrc/wakbits.cc) and uploads quantized arrays.  auto
-        = device on TPU backends (end-to-end device-native decode, ~2x
-        less upload) and anywhere the native library is unavailable
-        (the PACTPU_NO_NATIVE contract); host otherwise."""
+        native C++ (csrc/wakbits.cc) and uploads packed words.  auto =
+        host whenever the native library is available: the device walk is
+        HBM-latency-chained (~2,100 dependent gather steps/chunk,
+        75.6 ms measured vs 2.1 ms for the host-parse+extract chain,
+        PERF.md r4), so on-chip it only wins when host CPU is the scarce
+        resource; without the native library (PACTPU_NO_NATIVE) auto
+        falls back to the device walk — still ~40x faster than the
+        pure-Python parse."""
         cfg, num_samples, off = rc.read_header(data)
         if cfg.window != self.cfg.window:
             # the stream format carries no window field; synthesis follows
@@ -1377,9 +1407,7 @@ class Engine:
             raise ValueError(f"PACTPU_DECODE_PARSE={parse_env!r}: "
                              "expected auto, device or host")
         want_device = parse_env == "device" or (
-            parse_env == "auto"
-            and (jax.default_backend().startswith("tpu")
-                 or not native.available()))
+            parse_env == "auto" and not native.available())
         if want_device:
             staged = self._decode_staging_device_parse(
                 data, off, cfg, num_samples, huff)
@@ -1475,8 +1503,9 @@ class Engine:
         # PACTPU_DECODE_UPLOAD forces it: "u16" for the plain upload
         # (the better trade on fast PCIe-class links: ~1.4 ms less device
         # work per 512-block chunk), "dense" to force word packing;
-        # default follows the backend (dense on TPU, u16 elsewhere —
-        # the kernel needs a real TPU or interpret mode).
+        # default follows the backend (dense on TPU, u16 elsewhere);
+        # forcing dense off-TPU runs the kernel in interpret mode
+        # (slow but correct — ADVICE r3).
         from pactpu.ops import pallas_ops
         upload = os.environ.get("PACTPU_DECODE_UPLOAD", "auto")
         packed = native.available() and (

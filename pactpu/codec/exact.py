@@ -155,12 +155,17 @@ def extras_scan_body(cfg: CodecConfig, precision: str = "f32"):
         take = (jnp.where(deposit > 10, deposit // divisor, 0)
                 + jnp.where(deposit < 0, deposit, 0))
         granted = extra + take
-        s0, left0 = chan(granted, smr_b[0], lrms_b, cost_b[0])
-        s1, left1 = chan(left0, smr_b[1], lrms_b, cost_b[1])
+        # per-channel chain: channel k's allocation leftover funds
+        # channel k+1; every channel's savings deposit (mono degenerates
+        # to the single EncodeSingleChannel pass, codec/codec.py:131-210)
+        chain, total_savings = granted, jnp.int32(0)
+        for ch in range(cfg.n_channels):
+            s_ch, chain = chan(chain, smr_b[ch], lrms_b, cost_b[ch])
+            total_savings = total_savings + s_ch
         new_carry = (
-            jnp.where(v, deposit - take + s0 + s1, deposit
+            jnp.where(v, deposit - take + total_savings, deposit
                       ).astype(jnp.int32),
-            jnp.where(v, left1, extra).astype(jnp.int32))
+            jnp.where(v, chain, extra).astype(jnp.int32))
         return new_carry, jnp.where(v, granted, 0).astype(jnp.int32)
 
     def run(smr, lrms, cost, valid, carry):

@@ -409,6 +409,20 @@ class HuffmanTables:
             cls._cached = cls()
         return cls._cached
 
+    @classmethod
+    def from_arrays(cls, tables) -> "HuffmanTables":
+        """Wrap a (lengths, codes, escape_lengths, escape_codes) tuple —
+        e.g. a freshly trained set (pactpu.ops.huffman_train) — without
+        touching the shipped npz."""
+        self = cls.__new__(cls)
+        self.lengths = np.asarray(tables[0], np.int64)
+        self.codes = np.asarray(tables[1], np.int64)
+        self.escape_lengths = np.asarray(tables[2], np.int64)
+        self.escape_codes = np.asarray(tables[3], np.int64)
+        self.num_tables = self.lengths.shape[0]
+        self._decode_trees = {}
+        return self
+
     def decode_tree(self, table_id: int) -> np.ndarray:
         """Flattened binary tree int32[n_nodes, 3]: (zero_child, one_child,
         symbol); child < 0 means absent, symbol of -2 means internal,
@@ -587,14 +601,23 @@ def lrms_decision(full_block: np.ndarray, layout,
 def encode_block(full_block: np.ndarray, cfg: CodecConfig,
                  reservoir: Reservoir, extra_bits_state: List[int],
                  tables: HuffmanTables) -> EncodedBlock:
-    """Encode one [2, 2N] block exactly like reference codec.Encode +
-    EncodeDualChannel (codec/codec.py:83-129, 212-281)."""
+    """Encode one [C, 2N] block exactly like reference codec.Encode +
+    EncodeDualChannel (codec/codec.py:83-129, 212-281).  Mono (C = 1) is
+    the EncodeSingleChannel pipeline (codec/codec.py:131-210) with the
+    same Huffman/reservoir tail: mono psych model, no L/R-vs-M/S
+    decision (lrms all zero) — the oracle restatement of the engine's
+    mono extension, enabling oracle-vs-engine equality tests where the
+    reference ships no mono golden artifacts."""
     layout = cfg.band_layout
     n_lines_arr = np.asarray(layout.n_lines, dtype=np.int64)
     half = cfg.n_mdct_lines
     max_mant = min(1 << cfg.n_mant_size_bits, 16)
+    n_ch = cfg.n_channels
 
-    lrms = lrms_decision(full_block, layout, cfg.ms_decision_factor)
+    if n_ch == 2:
+        lrms = lrms_decision(full_block, layout, cfg.ms_decision_factor)
+    else:
+        lrms = np.zeros(layout.n_bands, dtype=np.int64)
 
     budget = cfg.target_bits_per_sample * half
     budget -= cfg.n_scale_bits * (layout.n_bands + 1)
@@ -603,21 +626,26 @@ def encode_block(full_block: np.ndarray, cfg: CodecConfig,
     extra_bits_state[0] += reservoir.take()
 
     sw = sine_window(2 * half)
-    sine_data = [sw * full_block[c] for c in range(2)]
+    sine_data = [sw * full_block[c] for c in range(n_ch)]
     lines, overall = [], []
-    for c in range(2):
+    for c in range(n_ch):
         ln = mdct_forward(sine_data[c])[:half]
         osc = scale_factor_scalar(float(np.max(np.abs(ln))),
                                   cfg.n_scale_bits)
         lines.append(ln * (1 << osc))
         overall.append(osc)
 
-    smr, mixed = stereo_mask_threshold(sine_data, lines, overall,
-                                       cfg.sample_rate, layout, lrms)
+    if n_ch == 2:
+        smr, mixed = stereo_mask_threshold(sine_data, lines, overall,
+                                           cfg.sample_rate, layout, lrms)
+    else:
+        smr = [calc_smrs(sine_data[0], lines[0], overall[0],
+                         cfg.sample_rate, layout)]
+        mixed = lines
 
     out = EncodedBlock([], [], [], [], [], [], [], lrms)
     out.overall_scale = overall
-    for c in range(2):
+    for c in range(n_ch):
         alloc, diff = bit_alloc(budget, extra_bits_state[0], max_mant,
                                 layout.n_bands, n_lines_arr, smr[c], lrms)
         extra_bits_state[0] += diff
@@ -664,12 +692,14 @@ def encode_block(full_block: np.ndarray, cfg: CodecConfig,
 def decode_block(bit_alloc_2: np.ndarray, scale_factor_2: np.ndarray,
                  mantissa_2: np.ndarray, overall_2: np.ndarray,
                  lrms: np.ndarray, cfg: CodecConfig) -> np.ndarray:
-    """Decode one block to [2, 2N] pre-overlap time samples with the Q1
-    M/S aliasing behavior (reference codec/codec.py:25-65)."""
+    """Decode one block to [C, 2N] pre-overlap time samples with the Q1
+    M/S aliasing behavior (reference codec/codec.py:25-65); mono skips
+    the M/S reconstruction."""
     layout = cfg.band_layout
     half = cfg.n_mdct_lines
-    lines = np.zeros((2, half), dtype=np.float64)
-    for c in range(2):
+    n_ch = cfg.n_channels
+    lines = np.zeros((n_ch, half), dtype=np.float64)
+    for c in range(n_ch):
         for b in range(layout.n_bands):
             ba = int(bit_alloc_2[c][b])
             if ba:
@@ -680,15 +710,16 @@ def decode_block(bit_alloc_2: np.ndarray, scale_factor_2: np.ndarray,
         lines[c] /= 1.0 * (1 << int(overall_2[c]))
 
     # Q1: sequential in-place M/S reconstruction aliasing
-    for b in range(layout.n_bands):
-        if lrms[b]:
-            lo, hi = layout.lower_line[b], layout.upper_line[b] + 1
-            m_minus_s = lines[0, lo:hi] - lines[1, lo:hi]
-            lines[0, lo:hi] = m_minus_s
-            lines[1, lo:hi] = m_minus_s + lines[1, lo:hi]
+    if n_ch == 2:
+        for b in range(layout.n_bands):
+            if lrms[b]:
+                lo, hi = layout.lower_line[b], layout.upper_line[b] + 1
+                m_minus_s = lines[0, lo:hi] - lines[1, lo:hi]
+                lines[0, lo:hi] = m_minus_s
+                lines[1, lo:hi] = m_minus_s + lines[1, lo:hi]
 
     sw = sine_window(2 * half)
-    return np.stack([sw * mdct_inverse(lines[c]) for c in range(2)])
+    return np.stack([sw * mdct_inverse(lines[c]) for c in range(n_ch)])
 
 
 # --------------------------------------------------------------------------
@@ -754,7 +785,7 @@ def pack_block(block: EncodedBlock, cfg: CodecConfig) -> bytes:
     (reference codec/pacfile.py:273-353, quirks Q7/Q8/Q9)."""
     layout = cfg.band_layout
     out = bytearray()
-    for c in range(2):
+    for c in range(cfg.n_channels):
         w = BitWriter()
         w.write(block.overall_scale[c], cfg.n_scale_bits)
         w.write(block.table_id[c], cfg.n_table_id_bits)
@@ -783,16 +814,17 @@ def unpack_block(data: bytes, off: int, cfg: CodecConfig,
                  tables: HuffmanTables
                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
                             np.ndarray, int]:
-    """Parse one block; returns (bitAlloc[2,25], scaleFactor[2,25],
-    mantissa[2,half], overallScale[2], lrms[25], new_offset)."""
+    """Parse one block; returns (bitAlloc[C,bands], scaleFactor[C,bands],
+    mantissa[C,half], overallScale[C], lrms[bands], new_offset)."""
     layout = cfg.band_layout
     half = cfg.n_mdct_lines
-    ba2 = np.zeros((2, layout.n_bands), dtype=np.int64)
-    sf2 = np.zeros((2, layout.n_bands), dtype=np.int64)
-    mant2 = np.zeros((2, half), dtype=np.int64)
-    osc2 = np.zeros(2, dtype=np.int64)
+    n_ch = cfg.n_channels
+    ba2 = np.zeros((n_ch, layout.n_bands), dtype=np.int64)
+    sf2 = np.zeros((n_ch, layout.n_bands), dtype=np.int64)
+    mant2 = np.zeros((n_ch, half), dtype=np.int64)
+    osc2 = np.zeros(n_ch, dtype=np.int64)
     lrms = np.zeros(layout.n_bands, dtype=np.int64)
-    for c in range(2):
+    for c in range(n_ch):
         try:
             (n_bytes,) = struct.unpack_from("<L", data, off)
         except struct.error as e:       # truncated block length prefix
@@ -842,28 +874,32 @@ def unpack_block(data: bytes, off: int, cfg: CodecConfig,
 
 def encode_file(pcm: np.ndarray, sample_rate: int,
                 cfg: Optional[CodecConfig] = None) -> bytes:
-    """pcm: int16 [n, 2].  Returns the full .wak byte stream."""
+    """pcm: int16 [n, C].  Returns the full .wak byte stream."""
     from pactpu.codec.wav import pcm16_to_float_np
     if cfg is None:
         cfg = CodecConfig(sample_rate=sample_rate)
+    if pcm.ndim != 2 or pcm.shape[1] != cfg.n_channels:
+        raise ValueError(f"pcm must be [n, {cfg.n_channels}] int16, "
+                         f"got {pcm.shape}")
     tables = HuffmanTables.load()
     half = cfg.n_mdct_lines
+    n_ch = cfg.n_channels
     n = pcm.shape[0]
     header, _ = write_header(cfg, n)
     out = bytearray(header)
 
     reservoir = Reservoir(divisor=cfg.reservoir_withdraw_divisor)
     extra = [0]
-    prior = np.zeros((2, half), dtype=np.float64)
+    prior = np.zeros((n_ch, half), dtype=np.float64)
     n_blocks = -(-n // half)
-    x = pcm16_to_float_np(pcm.T.astype(np.int64))  # [2, n]
+    x = pcm16_to_float_np(pcm.T.astype(np.int64))  # [C, n]
     for i in range(n_blocks + 1):  # final zero block flushes the MDCT delay
         if i < n_blocks:
-            cur = np.zeros((2, half), dtype=np.float64)
+            cur = np.zeros((n_ch, half), dtype=np.float64)
             seg = x[:, i * half:(i + 1) * half]
             cur[:, :seg.shape[1]] = seg
         else:
-            cur = np.zeros((2, half), dtype=np.float64)
+            cur = np.zeros((n_ch, half), dtype=np.float64)
         full = np.concatenate([prior, cur], axis=1)
         prior = cur
         blk = encode_block(full, cfg, reservoir, extra, tables)
@@ -881,7 +917,7 @@ def decode_file(data: bytes) -> Tuple[int, np.ndarray]:
     cfg, num_samples, off = read_header(data)
     tables = HuffmanTables.load()
     half = cfg.n_mdct_lines
-    ola = np.zeros((2, half), dtype=np.float64)
+    ola = np.zeros((cfg.n_channels, half), dtype=np.float64)
     chunks = []
     first = True
     while off < len(data):

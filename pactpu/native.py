@@ -1,9 +1,13 @@
 """ctypes binding to the native bitstream runtime (csrc/wakbits.cc).
 
 The shared library is compiled on first use with g++ -O3 into a build cache
-next to the package; set PACTPU_NO_NATIVE=1 to force the pure-Python
-fallbacks (pactpu.compat.refcodec) everywhere the engine checks
-`available()`.
+next to the package.  Every public function here carries a pure-Python
+fallback (built on the oracle's BitReader/BitWriter semantics,
+pactpu.compat.refcodec) that engages automatically when the native build
+is unavailable — no compiler, unsupported platform, or PACTPU_NO_NATIVE=1
+— so the full codec (reference decode loop contract,
+codec/pacfile.py:153-229) runs anywhere, just slower on the host-serial
+stages.
 """
 
 from __future__ import annotations
@@ -40,6 +44,9 @@ def _build() -> str:
 
 def _load():
     global _lib
+    if os.environ.get("PACTPU_NO_NATIVE"):
+        raise RuntimeError("native bitstream runtime disabled by "
+                           "PACTPU_NO_NATIVE")
     if _lib is not None:
         return _lib
     with _lock:
@@ -141,6 +148,11 @@ def pack_file(n_lines: np.ndarray, n_scale_bits: int, n_mant_size_bits: int,
     n_table_id_bits == 0 selects the baseline .pac layout (raw mantissas
     in `code`/`length`, no signs).
     """
+    if not available():
+        return _pack_file_py(n_lines, n_scale_bits, n_mant_size_bits,
+                             n_table_id_bits, overall, table_id, ba, sf,
+                             sign, code, length, lrms, write_lrms,
+                             n_channels)
     lib = _load()
     r = int(overall.shape[0])
     n_bands = int(ba.shape[1])
@@ -171,6 +183,9 @@ def pack_file(n_lines: np.ndarray, n_scale_bits: int, n_mant_size_bits: int,
 def assemble_rows(words: np.ndarray, nbits: np.ndarray) -> bytes:
     """Frame device-packed payload rows: uint32 LE byte-count prefix +
     big-endian bytes of each row's u32 words (first (nbits+7)/8 bytes)."""
+    if not available():
+        return _assemble_rows_py(np.asarray(words, np.uint32),
+                                 np.asarray(nbits, np.int64))
     lib = _load()
     words = np.ascontiguousarray(words, np.uint32)
     nb, nb_p = _i32(nbits)
@@ -190,6 +205,16 @@ def assemble_rows_flat(words_flat: np.ndarray, word_offsets: np.ndarray,
                        nbits: np.ndarray) -> bytes:
     """Frame DENSE device-packed payload rows: like assemble_rows, but row
     r's words start at word_offsets[r] in the flat u32 buffer."""
+    if not available():
+        off = np.asarray(word_offsets, np.int64)
+        nb = np.asarray(nbits, np.int64)
+        flat = np.asarray(words_flat, np.uint32)
+        parts = []
+        for r in range(nb.shape[0]):
+            nw = min((int(nb[r]) + 31) // 32, flat.shape[0] - int(off[r]))
+            parts.append(_frame_row_py(flat[int(off[r]):int(off[r]) + nw],
+                                       int(nb[r])))
+        return b"".join(parts)
     lib = _load()
     words_flat = np.ascontiguousarray(words_flat, np.uint32)
     off, off_p = _i32(word_offsets)
@@ -211,6 +236,10 @@ def repack_codes(mant: np.ndarray, ba: np.ndarray, n_lines: np.ndarray,
                  n_words: int) -> np.ndarray:
     """Repack decoded mantissa codes [R, total_lines] into fixed-width
     MSB-first u32 words [R, n_words] (ba[b] bits per line of band b)."""
+    if not available():
+        return _repack_codes_py(np.asarray(mant, np.int64),
+                                np.asarray(ba, np.int64),
+                                np.asarray(n_lines, np.int64), n_words)
     lib = _load()
     r, total_lines = mant.shape
     n_bands = ba.shape[1]
@@ -234,6 +263,10 @@ def unpack_file(payload: bytes, n_lines: np.ndarray, n_scale_bits: int,
     Returns dict of arrays keyed overall/table_id/ba/sf/mant [R, ...] and
     lrms [R//n_channels, bands], plus the parsed channel-block count R.
     """
+    if not available():
+        return _unpack_file_py(payload, n_lines, n_scale_bits,
+                               n_mant_size_bits, n_table_id_bits,
+                               read_lrms, n_channels, tables)
     lib = _load()
     if n_table_id_bits > 0:
         init_tables(tables)
@@ -261,5 +294,178 @@ def unpack_file(payload: bytes, n_lines: np.ndarray, n_scale_bits: int,
         mant.ctypes.data_as(i32p), lrms.ctypes.data_as(i32p))
     if rc < 0:
         raise ValueError(f"corrupt payload at channel-block {-rc - 1}")
+    return dict(overall=overall, table_id=table_id, ba=ba, sf=sf,
+                mant=mant, lrms=lrms, n_cblocks=r)
+
+
+# --------------------------------------------------------------------------
+# Pure-Python fallbacks (PACTPU_NO_NATIVE / no compiler).  Semantics are
+# the oracle's (pactpu.compat.refcodec BitReader/BitWriter + decode trees),
+# generalized to n_channels and the .pac (no-Huffman) layout; outputs are
+# byte/array-identical to the C++ paths, just host-serial-slow.
+# --------------------------------------------------------------------------
+
+
+def _frame_row_py(words: np.ndarray, nbits: int) -> bytes:
+    nbytes = (int(nbits) + 7) // 8
+    need = -(-nbytes // 4)
+    row = np.zeros(need, np.uint32)
+    row[:min(need, words.shape[0])] = words[:need]
+    body = row.astype(">u4").tobytes()[:nbytes]
+    return int(nbytes).to_bytes(4, "little") + body
+
+
+def _assemble_rows_py(words: np.ndarray, nbits: np.ndarray) -> bytes:
+    out = []
+    for r in range(words.shape[0]):
+        if (int(nbits[r]) + 7) // 8 > words.shape[1] * 4:
+            raise RuntimeError(
+                "assemble_rows: row overran its words buffer")
+        out.append(_frame_row_py(words[r], int(nbits[r])))
+    return b"".join(out)
+
+
+def _pack_file_py(n_lines, n_scale_bits, n_mant_size_bits, n_table_id_bits,
+                  overall, table_id, ba, sf, sign, code, length, lrms,
+                  write_lrms, n_channels) -> bytes:
+    from pactpu.compat.refcodec import BitWriter
+    huff = n_table_id_bits > 0
+    n_lines = np.asarray(n_lines, np.int64)
+    overall = np.asarray(overall, np.int64)
+    table_id = np.asarray(table_id, np.int64).reshape(-1)
+    ba = np.asarray(ba, np.int64)
+    sf = np.asarray(sf, np.int64)
+    sign = np.asarray(sign, np.int64)
+    code = np.asarray(code, np.int64)
+    length = np.asarray(length, np.int64)
+    lrms = np.asarray(lrms, np.int64)
+    out = bytearray()
+    for i in range(overall.shape[0]):
+        w = BitWriter()
+        w.write(int(overall[i]), n_scale_bits)
+        if huff:
+            w.write(int(table_id[i]), n_table_id_bits)
+        line0 = 0
+        for b in range(n_lines.shape[0]):
+            a = int(ba[i, b])
+            nl = int(n_lines[b])
+            w.write(a - 1 if a else 0, n_mant_size_bits)
+            w.write(int(sf[i, b]), n_scale_bits)
+            if a:
+                if huff:
+                    for j in range(nl):
+                        w.write(int(sign[i, line0 + j]), 1)
+                for j in range(nl):
+                    w.write(int(code[i, line0 + j]),
+                            int(length[i, line0 + j]))
+            line0 += nl
+        if write_lrms:
+            for b in range(n_lines.shape[0]):
+                w.write(int(lrms[i // n_channels, b]), 1)
+        n_bytes = (w.bit_length + 7) // 8
+        out += int(n_bytes).to_bytes(4, "little")
+        out += w.to_bytes(n_bytes)
+    return bytes(out)
+
+
+def _repack_codes_py(mant, ba, n_lines, n_words: int) -> np.ndarray:
+    from pactpu.compat.refcodec import BitWriter
+    r = mant.shape[0]
+    words = np.zeros((r, n_words), np.uint32)
+    for i in range(r):
+        w = BitWriter()
+        line0 = 0
+        for b in range(n_lines.shape[0]):
+            a = int(ba[i, b])
+            nl = int(n_lines[b])
+            if a:
+                for j in range(nl):
+                    w.write(int(mant[i, line0 + j]), a)
+            line0 += nl
+        nbytes = (w.bit_length + 7) // 8
+        if nbytes > n_words * 4:
+            raise RuntimeError("repack_codes: words buffer too small")
+        row = np.frombuffer(w.to_bytes(-(-nbytes // 4) * 4), np.uint8)
+        words[i, :row.shape[0] // 4] = row.view(">u4").astype(np.uint32)
+    return words
+
+
+def _unpack_file_py(payload: bytes, n_lines, n_scale_bits,
+                    n_mant_size_bits, n_table_id_bits, read_lrms,
+                    n_channels, tables):
+    from pactpu.compat.refcodec import BitReader, HuffmanTables
+    huff = n_table_id_bits > 0
+    ht = None
+    if huff:
+        ht = (HuffmanTables.load() if tables is None
+              else HuffmanTables.from_arrays(tables))
+    n_lines = np.asarray(n_lines, np.int64)
+    n_bands = n_lines.shape[0]
+    total_lines = int(n_lines.sum())
+    rows = []
+    data = bytes(payload)
+    off = 0
+    while off < len(data):
+        if off + 4 > len(data):
+            raise ValueError("truncated channel-block header")
+        nbytes = int.from_bytes(data[off:off + 4], "little")
+        off += 4
+        if off + nbytes > len(data):
+            raise ValueError("corrupt payload: channel-block length "
+                             "exceeds the stream")
+        rows.append(data[off:off + nbytes])
+        off += nbytes
+    r = len(rows)
+    if r == 0:
+        raise ValueError("no channel-blocks found in payload")
+    overall = np.zeros(r, np.int32)
+    table_id = np.zeros(r, np.int32)
+    ba = np.zeros((r, n_bands), np.int32)
+    sf = np.zeros((r, n_bands), np.int32)
+    mant = np.zeros((r, total_lines), np.int32)
+    lrms = np.zeros((-(-r // int(n_channels)), n_bands), np.int32)
+    for i, row in enumerate(rows):
+        try:
+            rd = BitReader(row)
+            overall[i] = rd.read(n_scale_bits)
+            tree = None
+            if huff:
+                tid = rd.read(n_table_id_bits)
+                if not 1 <= tid <= ht.num_tables:
+                    raise ValueError("table id out of range")
+                table_id[i] = tid
+                tree = ht.decode_tree(tid)
+            line0 = 0
+            for b in range(n_bands):
+                a = rd.read(n_mant_size_bits)
+                if a:
+                    a += 1
+                ba[i, b] = a
+                sf[i, b] = rd.read(n_scale_bits)
+                nl = int(n_lines[b])
+                if a:
+                    if huff:
+                        signs = [rd.read_bit() for _ in range(nl)]
+                        for j in range(nl):
+                            node = 0
+                            while tree[node, 2] == -2:
+                                node = tree[node, rd.read_bit()]
+                                if node < 0:
+                                    raise ValueError("invalid code")
+                            sym = int(tree[node, 2])
+                            if sym == -1:
+                                sym = rd.read(a)
+                            mant[i, line0 + j] = (
+                                sym + signs[j] * (1 << (a - 1)))
+                    else:
+                        for j in range(nl):
+                            mant[i, line0 + j] = rd.read(a)
+                line0 += nl
+            if read_lrms:
+                for b in range(n_bands):
+                    lrms[i // n_channels, b] = rd.read_bit()
+        except ValueError as e:
+            raise ValueError(
+                f"corrupt payload at channel-block {i}") from e
     return dict(overall=overall, table_id=table_id, ba=ba, sf=sf,
                 mant=mant, lrms=lrms, n_cblocks=r)

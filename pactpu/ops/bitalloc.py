@@ -314,3 +314,93 @@ def alloc_const_mnr(bit_budget: int, max_mant_bits: int, n_lines: jax.Array,
     """Constant-MNR allocation from per-band SMR
     (reference BitAllocConstMNR, codec/bitalloc.py:93-125)."""
     return _greedy_noise_floor(bit_budget, max_mant_bits, n_lines, smr)
+
+
+def _legacy_iter_bound(budget_cap: int, n_lines, n_bands: int) -> int:
+    """Static fori_loop trip bound for the legacy allocators: every taken
+    step spends at least min(nLines) bits (reference walks the same
+    budget), plus a lap of band-skips."""
+    min_lines = max(1, int(np.min(np.asarray(n_lines))))
+    return int(budget_cap) // min_lines + 16 * n_bands
+
+
+def alloc_uniform_batch(total_bits: jax.Array, max_mant_bits: int,
+                        n_lines: jax.Array, budget_cap: int) -> jax.Array:
+    """Batched BitAllocUniform (reference codec/bitalloc.py:22-57): equal
+    bits per line, leftovers round-robined one bit per band until the
+    first unaffordable band.
+
+    total_bits: i32[R] per-row budgets (must stay <= budget_cap, the
+    static loop bound — the Engine's cbr budgets qualify).  Returns
+    bits i32[R, bands]."""
+    nl = jnp.asarray(n_lines, jnp.int32)
+    n_bands = nl.shape[0]
+    total = jnp.asarray(total_bits, jnp.int32)
+    r = total.shape[0]
+    total_lines = jnp.sum(nl)
+    per_line = total // total_lines                       # [R]
+    alloc = jnp.broadcast_to(per_line[:, None], (r, n_bands)).astype(
+        jnp.int32)
+    remaining = total - per_line * total_lines
+
+    def body(line, state):
+        alloc, remaining, stopped = state
+        band = line % n_bands
+        nxt = remaining - nl[band]
+        stopped = stopped | (remaining <= 0) | (nxt < 0)
+        take = ~stopped
+        inc = take & (alloc[:, band] < max_mant_bits)
+        alloc = alloc.at[:, band].add(jnp.where(inc, 1, 0))
+        return alloc, jnp.where(take, nxt, remaining), stopped
+
+    iters = _legacy_iter_bound(budget_cap, n_lines, int(n_bands))
+    alloc, _, _ = jax.lax.fori_loop(
+        0, iters, body, (alloc, remaining, jnp.zeros(r, bool)))
+    return _greedy_floor(alloc, max_mant_bits)
+
+
+def _greedy_noise_floor_batch(total_bits: jax.Array, max_mant_bits: int,
+                              n_lines: jax.Array, level: jax.Array,
+                              budget_cap: int) -> jax.Array:
+    """Batched greedy core of ConstSNR/ConstMNR (reference
+    codec/bitalloc.py:60-125): per row, grant a bit to argmax(level) and
+    drop that level 6 dB until the budget runs out."""
+    nl = jnp.asarray(n_lines, jnp.int32)
+    n_bands = nl.shape[0]
+    total = jnp.asarray(total_bits, jnp.int32)
+    r = total.shape[0]
+    row = jnp.arange(r)
+
+    def body(_, state):
+        alloc, remaining, level = state
+        band = jnp.argmax(level, axis=1)                  # [R]
+        cur = alloc[row, band]
+        ok = (cur < max_mant_bits) & (remaining - nl[band] >= 0)
+        live = remaining > 0
+        alloc = alloc.at[row, band].add(jnp.where(live & ok, 1, 0))
+        remaining = remaining - jnp.where(live & ok, nl[band], 0)
+        level = level.at[row, band].add(jnp.where(live, -6.0, 0.0))
+        return alloc, remaining, level
+
+    iters = _legacy_iter_bound(budget_cap, n_lines, int(n_bands))
+    alloc, _, _ = jax.lax.fori_loop(
+        0, iters, body,
+        (jnp.zeros((r, n_bands), jnp.int32), total,
+         level.astype(jnp.float32)))
+    return _greedy_floor(alloc, max_mant_bits)
+
+
+def alloc_const_snr_batch(total_bits: jax.Array, max_mant_bits: int,
+                          n_lines: jax.Array, peak_spl: jax.Array,
+                          budget_cap: int) -> jax.Array:
+    """Batched BitAllocConstSNR (reference codec/bitalloc.py:60-90)."""
+    return _greedy_noise_floor_batch(total_bits, max_mant_bits, n_lines,
+                                     peak_spl, budget_cap)
+
+
+def alloc_const_mnr_batch(total_bits: jax.Array, max_mant_bits: int,
+                          n_lines: jax.Array, smr: jax.Array,
+                          budget_cap: int) -> jax.Array:
+    """Batched BitAllocConstMNR (reference codec/bitalloc.py:93-125)."""
+    return _greedy_noise_floor_batch(total_bits, max_mant_bits, n_lines,
+                                     smr, budget_cap)

@@ -38,6 +38,7 @@ Design:
 from __future__ import annotations
 
 import json as _json
+import os
 import struct as _struct
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -69,6 +70,11 @@ class JobResult:
     checkpoint: Optional[bytes] = None
     resume_offset: int = 0
     parts: Optional[List[bytes]] = None
+    # provenance of a persisted checkpoint (save_failed_job): coding
+    # parameters + input fingerprint, so a rerun with different settings
+    # or a modified WAV is detected instead of silently resuming into an
+    # inconsistent stream (ADVICE r3)
+    meta: Optional[dict] = None
 
 
 class _Watchdog:
@@ -206,12 +212,38 @@ def resume_encode_job(result: JobResult, pcm: np.ndarray,
 _CKPT_MAGIC = b"PJC1"
 
 
-def save_failed_job(result: JobResult, path: str) -> None:
+def job_fingerprint(cfg: Optional[CodecConfig] = None,
+                    pcm: Optional[np.ndarray] = None) -> dict:
+    """Provenance fingerprint stored with a persisted checkpoint: the
+    stream-shaping config fields and the input's length + CRC32.  A rerun
+    whose fingerprint differs must NOT resume (the saved header and early
+    parts would describe a different stream) — cmd_batch checks this
+    before resume_encode_job (ADVICE r3)."""
+    import zlib
+    out = {}
+    if cfg is not None:
+        out.update(target_bits_per_sample=cfg.target_bits_per_sample,
+                   sample_rate=cfg.sample_rate,
+                   n_channels=cfg.n_channels,
+                   n_mdct_lines=cfg.n_mdct_lines)
+    if pcm is not None:
+        pcm = np.ascontiguousarray(pcm, np.int16)
+        out.update(input_samples=int(pcm.shape[0]),
+                   input_crc32=int(zlib.crc32(pcm.tobytes())))
+    return out
+
+
+def save_failed_job(result: JobResult, path: str,
+                    cfg: Optional[CodecConfig] = None,
+                    pcm: Optional[np.ndarray] = None) -> None:
     """Persist a failed encode JobResult so a later process (or another
     host) can pick it up with `load_failed_job` + `resume_encode_job`.
-    The file is self-contained: json metadata + the encoder checkpoint +
+    The file is self-contained: json metadata (including the
+    `job_fingerprint` of cfg/pcm when given) + the encoder checkpoint +
     the already-encoded stream parts (no pickle — the format is a fixed
-    framing that `load_failed_job` validates)."""
+    framing that `load_failed_job` validates).  The write is atomic
+    (tmp + rename): a crash mid-write must not leave a truncated sidecar
+    that blocks the next batch run (ADVICE r3)."""
     if result.ok or result.checkpoint is None:
         raise ValueError("save_failed_job needs a failed JobResult")
     parts = result.parts or []
@@ -219,13 +251,16 @@ def save_failed_job(result: JobResult, path: str) -> None:
                 retries=result.retries, error=result.error,
                 failed_segments=list(result.failed_segments),
                 checkpoint_len=len(result.checkpoint),
-                part_lens=[len(p) for p in parts])
+                part_lens=[len(p) for p in parts],
+                fingerprint=job_fingerprint(cfg, pcm))
     blob = _json.dumps(meta).encode()
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(_CKPT_MAGIC + _struct.pack("<I", len(blob)) + blob)
         f.write(result.checkpoint)
         for p in parts:
             f.write(p)
+    os.replace(tmp, path)
 
 
 def load_failed_job(path: str) -> JobResult:
@@ -252,7 +287,8 @@ def load_failed_job(path: str) -> JobResult:
             name=meta["name"], ok=False, retries=int(meta["retries"]),
             failed_segments=list(meta["failed_segments"]),
             error=meta["error"], checkpoint=ckpt,
-            resume_offset=int(meta["resume_offset"]), parts=parts)
+            resume_offset=int(meta["resume_offset"]), parts=parts,
+            meta=dict(fingerprint=meta.get("fingerprint", {})))
     except (KeyError, TypeError, ValueError, _struct.error,
             UnicodeDecodeError):
         raise ValueError(f"{path}: truncated or corrupt job checkpoint") \

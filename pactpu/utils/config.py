@@ -138,7 +138,11 @@ class CodecConfig:
     # NMR-residual loop (codec/bitalloc.py:129-184); "closed_form" = kai's
     # R = P/N + (SMR-avg)/6 allocator (baselines/kai/bitalloc.py:84-134) —
     # the TPU-friendliest mode: one vectorized formula + a short take-back
-    # instead of ~2000 sequential grants.
+    # instead of ~2000 sequential grants.  The reference's legacy
+    # experimental allocators are engine modes too: "uniform"
+    # (BitAllocUniform, codec/bitalloc.py:22-57), "const_snr"
+    # (BitAllocConstSNR, :60-90, per-band peak-SPL levelling) and
+    # "const_mnr" (BitAllocConstMNR, :93-125, SMR levelling).
     alloc_mode: str = "water_fill"
 
     # Bit-reservoir trickle: fraction of the deposit withdrawn per block in

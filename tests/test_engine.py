@@ -146,8 +146,8 @@ def test_cfg_property_validates_and_invalidates_consts():
     import pytest
 
     eng = Engine(rate_mode="exact", precision="f64")
-    with pytest.raises(ValueError, match="mono"):
-        eng.cfg = dc.replace(eng.cfg, n_channels=1)
+    with pytest.raises(ValueError, match="1 or 2"):
+        eng.cfg = dc.replace(eng.cfg, n_channels=3)
     with pytest.raises(ValueError, match="water-filling"):
         eng.cfg = dc.replace(eng.cfg, alloc_mode="closed_form")
     with pytest.raises(ValueError, match="sine"):

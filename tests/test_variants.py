@@ -451,3 +451,79 @@ def test_variant_interactions_roundtrip(combo):
     # stereo decode embeds the reference's M/S aliasing (SURVEY.md §8.1),
     # which caps SNR on wide material; mono has no such cap
     assert snr > (10.0 if chans == 1 else 1.0), snr
+
+
+# ---------------------------------------------------------------------------
+# legacy allocators as engine modes (round-4 VERDICT weak #4)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tone_pcm():
+    rng = np.random.default_rng(11)
+    n = 3 * 1024 + 200
+    t = np.arange(n) / 44100.0
+    sig = np.stack([np.sin(2 * np.pi * 440 * t),
+                    np.sin(2 * np.pi * 660 * t)], 1) * 18000
+    return np.clip(sig + rng.standard_normal((n, 2)) * 200,
+                   -32768, 32767).astype(np.int16)
+
+
+def test_legacy_batch_allocators_match_single():
+    """The batched engine formulations reproduce the single-row op-layer
+    allocators (which are parity-tested against reference
+    codec/bitalloc.py:22-125) row for row."""
+    import numpy as np
+    from pactpu.ops import bitalloc as ba_ops
+
+    rng = np.random.default_rng(5)
+    layout = CodecConfig().band_layout
+    nl = np.asarray(layout.n_lines, np.int32)
+    budgets = np.asarray([900, 2200, 3100], np.int32)
+    smr = rng.uniform(-20, 60, (3, 25)).astype(np.float32)
+
+    uni = np.asarray(ba_ops.alloc_uniform_batch(budgets, 16, nl, 12800))
+    snr = np.asarray(ba_ops.alloc_const_snr_batch(budgets, 16, nl, smr,
+                                                  12800))
+    mnr = np.asarray(ba_ops.alloc_const_mnr_batch(budgets, 16, nl, smr,
+                                                  12800))
+    for i, b in enumerate(budgets):
+        np.testing.assert_array_equal(
+            uni[i], np.asarray(ba_ops.alloc_uniform(int(b), 16, nl)))
+        np.testing.assert_array_equal(
+            snr[i], np.asarray(ba_ops.alloc_const_snr(int(b), 16, nl,
+                                                      smr[i])))
+        np.testing.assert_array_equal(
+            mnr[i], np.asarray(ba_ops.alloc_const_mnr(int(b), 16, nl,
+                                                      smr[i])))
+
+
+@pytest.mark.parametrize("mode", ["uniform", "const_snr", "const_mnr"])
+def test_legacy_alloc_engine_roundtrip(mode, tone_pcm):
+    """Each legacy allocator is a real engine/CLI mode: the stream
+    round-trips and decodes to something SNR-sane."""
+    import dataclasses
+    import numpy as np
+
+    from pactpu.codec.engine import Engine
+    cfg = dataclasses.replace(CodecConfig(), alloc_mode=mode)
+    eng = Engine(cfg=cfg, rate_mode="cbr")
+    stream = eng.encode(tone_pcm)
+    fs, out = eng.decode(stream)
+    assert fs == 44100 and out.shape == tone_pcm.shape
+    n = min(len(out), len(tone_pcm))
+    x = tone_pcm[:n].astype(np.float64)
+    e = x - out[:n].astype(np.float64)
+    snr = 10 * np.log10((x ** 2).sum() / max((e ** 2).sum(), 1e-9))
+    assert snr > 10, f"{mode}: SNR {snr:.1f} dB"
+
+
+def test_legacy_alloc_cli_flag(tone_pcm, tmp_path):
+    from pactpu.codec import cli
+    from pactpu.codec.wav import write_wav
+
+    p = tmp_path / "t.wav"
+    write_wav(str(p), 44100, tone_pcm)
+    rc = cli.main(["encode", str(p), str(tmp_path / "t.wak"),
+                   "--rate", "cbr", "--alloc-mode", "const_mnr"])
+    assert rc == 0 and (tmp_path / "t.wak").exists()
