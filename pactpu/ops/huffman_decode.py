@@ -273,20 +273,46 @@ def parse_rows_body(cfg, huff: bool = True):
 
             def step(carry, _):
                 off, bad = carry
-                pk = _peek32(words, off)
                 if huff:
+                    # ONE [R, 3] gather covers the whole step: a code is
+                    # <= 24 bits and its escape tail <= 16 more, so bit
+                    # positions [b, b + ln + ba) with b < 32 always live
+                    # inside three consecutive words — the per-step
+                    # critical path is 2 dependent gathers (words, LUT)
+                    # instead of 5 (measured 75.6 -> see PERF.md)
+                    wmax = words.shape[1] - 1
+                    wi = jnp.clip(
+                        (off >> 5)[:, None]
+                        + jnp.arange(3, dtype=jnp.int32)[None], 0, wmax)
+                    w3 = jnp.take_along_axis(words, wi, axis=1)
+                    wa, wb, wc = w3[:, 0], w3[:, 1], w3[:, 2]
+                    b32 = (off & 31).astype(jnp.uint32)
+                    pk = (wa << b32) | jnp.where(
+                        b32 > 0,
+                        wb >> ((jnp.uint32(32) - b32) & jnp.uint32(31)),
+                        jnp.uint32(0))
                     idx = tbase + (pk >> kshift).astype(jnp.int32)
                     ent = lut_flat[jnp.clip(idx, 0,
                                             lut_flat.shape[0] - 1)]
                     ln = ent & 63
                     sym = (ent >> 6).astype(jnp.int32)
                     isesc = sym == ESC_SENTINEL
-                    raw = _field(_peek32(words, off + ln), ba_u)
+                    # escape: the raw ba-bit mantissa at bit p = b + ln
+                    # of the (wa, wb, wc) 96-bit window; p <= 31 + 24
+                    p = b32 + ln.astype(jnp.uint32)
+                    hi = jnp.where(p >= 32, wb, wa)
+                    lo = jnp.where(p >= 32, wc, wb)
+                    pm = p & jnp.uint32(31)
+                    pk2 = (hi << pm) | jnp.where(
+                        pm > 0,
+                        lo >> ((jnp.uint32(32) - pm) & jnp.uint32(31)),
+                        jnp.uint32(0))
+                    raw = _field(pk2, ba_u)
                     val = jnp.where(isesc, raw, sym)
                     adv = ln + jnp.where(isesc, ba, 0)
                     bad = bad | (active & (ln == 0))
                 else:
-                    val = _field(pk, ba_u)
+                    val = _field(_peek32(words, off), ba_u)
                     adv = ba
                 val = jnp.where(active, val, 0)
                 return ((off + jnp.where(active, adv, 0), bad), val)
