@@ -33,21 +33,32 @@ def _pack_plan(n_lines: tuple, n_scale_bits: int, n_mant_size_bits: int,
                n_table_id_bits: int):
     """Static stream plan for one channel-block payload.
 
-    Source vector layout (what the engine concatenates per row):
-      [overall(1), tid(1), ba_field(nb), sf(nb), sign(L), code(L), lrms(nb)]
-    Returns (perm i32[M], const_width i8[M], kind i8[M]) where kind selects
-    the width source: 0 = constant width, 1 = sign (1 bit if transmitted
-    else 0), 2 = code (dynamic length array).
+    Source vector layout (what pack_payload_bits concatenates per row):
+      [overall(1), tid(1), ba_field(nb), sf(nb), sign(L), code(L),
+       lrms(nb), sign_groups(G)]
+    A band's nLines sign bits are contiguous in the stream (reference
+    codec/pacfile.py:334-337), so they pack as ceil(nLines/32)
+    multi-bit GROUP items instead of nLines 1-bit items — the item axis
+    (the Pallas pack kernel's work axis) shrinks ~2x (2,125 -> ~1,150
+    for the 44.1 kHz layout; measured 3.7 -> see PERF.md).
+
+    Returns (perm i32[M], const_width i32[M], kind i8[M], groups) where
+    kind selects the width source: 0 = constant width, 2 = code (dynamic
+    length array), 3 = sign group (const_width bits if the band
+    transmits, else 0); groups = (band i32[G], start_line i32[G],
+    glen i32[G]) metadata for building the grouped values.
     """
     nb = len(n_lines)
     total = int(np.sum(n_lines))
     lo = np.concatenate([[0], np.cumsum(n_lines)[:-1]]).astype(np.int64)
     o_overall, o_tid = 0, 1
     o_ba, o_sf = 2, 2 + nb
-    o_sign, o_code = 2 + 2 * nb, 2 + 2 * nb + total
+    o_code = 2 + 2 * nb + total
     o_lrms = 2 + 2 * nb + 2 * total
+    o_group = o_lrms + nb
 
     perm, cw, kind = [], [], []
+    g_band, g_start, g_len = [], [], []
 
     def emit(src, width, k=0):
         perm.append(src)
@@ -59,15 +70,21 @@ def _pack_plan(n_lines: tuple, n_scale_bits: int, n_mant_size_bits: int,
     for b in range(nb):
         emit(o_ba + b, n_mant_size_bits)
         emit(o_sf + b, n_scale_bits)
-        for j in range(int(n_lines[b])):
-            emit(o_sign + lo[b] + j, 1, k=1)
+        for j in range(0, int(n_lines[b]), 32):
+            glen = min(32, int(n_lines[b]) - j)
+            emit(o_group + len(g_band), glen, k=3)
+            g_band.append(b)
+            g_start.append(int(lo[b]) + j)
+            g_len.append(glen)
         for j in range(int(n_lines[b])):
             emit(o_code + lo[b] + j, 0, k=2)
     for b in range(nb):
         emit(o_lrms + b, 1)
 
+    groups = (np.asarray(g_band, np.int32), np.asarray(g_start, np.int32),
+              np.asarray(g_len, np.int32))
     return (np.asarray(perm, np.int32), np.asarray(cw, np.int32),
-            np.asarray(kind, np.int8))
+            np.asarray(kind, np.int8), groups)
 
 
 def pack_payload_bits(overall: jax.Array, tid: jax.Array, ba: jax.Array,
@@ -83,9 +100,10 @@ def pack_payload_bits(overall: jax.Array, tid: jax.Array, ba: jax.Array,
     bool/i32[R, nb] (the per-block flags, already replicated per channel).
     Returns (words u32[R, n_words], nbits i32[R]).
     """
-    perm, cw, kind = _pack_plan(tuple(int(x) for x in n_lines),
-                                n_scale_bits, n_mant_size_bits,
-                                n_table_id_bits)
+    perm, cw, kind, groups = _pack_plan(tuple(int(x) for x in n_lines),
+                                        n_scale_bits, n_mant_size_bits,
+                                        n_table_id_bits)
+    g_band, g_start, g_len = groups
     r = overall.shape[0]
     i32 = lambda a: a.astype(jnp.int32)  # noqa: E731
     ba = i32(ba)
@@ -94,14 +112,31 @@ def pack_payload_bits(overall: jax.Array, tid: jax.Array, ba: jax.Array,
     seg = np.repeat(np.arange(len(n_lines), dtype=np.int64),
                     np.asarray(n_lines, np.int64))
     band_on = (ba > 0)[:, seg]                      # [R, L]
+
+    # grouped sign values: group g = the band's sign bits [start, start+
+    # glen) packed MSB-first into one <=32-bit item (static index map;
+    # uint32 weights so a 32-bit group's top bit survives exactly)
+    total = int(np.sum(n_lines))
+    gl = np.arange(32, dtype=np.int64)[None, :]
+    g_lines = np.minimum(g_start[:, None] + gl, total - 1)   # [G, 32]
+    g_mask = gl < g_len[:, None]
+    g_weights = np.where(
+        g_mask, (1 << np.maximum(g_len[:, None] - 1 - gl, 0)), 0
+    ).astype(np.uint32)
+    sv = sign.astype(jnp.uint32)[:, g_lines]                 # [R, G, 32]
+    grouped = jnp.sum(sv * jnp.asarray(g_weights)[None], axis=-1)
+    grouped = grouped.astype(jnp.int32)                      # bit pattern
+
     src_v = jnp.concatenate([
         i32(overall)[:, None], i32(tid)[:, None], ba_field, i32(sf),
-        i32(sign), i32(codes), i32(lrms_row)], axis=1)
-    # width sources aligned with src_v where dynamic
+        i32(sign), i32(codes), i32(lrms_row), grouped], axis=1)
+    # width sources aligned with src_v where dynamic: sign-group widths
+    # are glen if the band transmits (ba > 0), else 0
+    group_w = jnp.where((ba > 0)[:, g_band], jnp.asarray(g_len)[None], 0)
     src_w = jnp.concatenate([
         jnp.zeros((r, 2 + 2 * ba.shape[1]), jnp.int32),
         band_on.astype(jnp.int32), i32(lens),
-        jnp.zeros((r, ba.shape[1]), jnp.int32)], axis=1)
+        jnp.zeros((r, ba.shape[1]), jnp.int32), group_w], axis=1)
 
     values = src_v[:, perm]                          # [R, M]
     widths = jnp.where(jnp.asarray(kind)[None, :] == 0,

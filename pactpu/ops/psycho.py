@@ -263,7 +263,11 @@ def masked_threshold(x: jax.Array, drop_db: jax.Array, fs: int,
         iprime = jnp.where(
             peak, jnp.exp2(log2_10_over_10
                            * (mspl - drop_db[:, None] - 96.0)), 0.0)
-        total = iprime @ jnp.asarray(nonup)
+        # HIGHEST: the bf16 MXU default would perturb masked thresholds
+        # across backends (CPU tests vs TPU serving); full f32 here costs
+        # ~0.1 ms per chunk and keeps SMRs backend-identical
+        total = jnp.matmul(iprime, jnp.asarray(nonup),
+                           precision=jax.lax.Precision.HIGHEST)
         total = total + pallas_ops.spread_maskers_up(iprime, mspl, bnp, znp)
         return spl(jnp.asarray(quiet_i)[None] + total)
 
