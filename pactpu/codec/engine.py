@@ -127,8 +127,21 @@ def frame_blocks(x: jax.Array, half: int, n_blocks: int) -> jax.Array:
     codec/pacfile.py:264-282, 355-366). B = n_blocks + 1."""
     pad_to = (n_blocks + 1) * half
     y = jnp.pad(x, ((0, 0), (half, pad_to - x.shape[1])))
-    idx = jnp.arange(n_blocks + 1)[:, None] * half + jnp.arange(2 * half)
-    return jnp.take(y, idx, axis=1).transpose(1, 0, 2)
+    return _overlap_frames(y, half)
+
+
+def _overlap_frames(y: jax.Array, half: int) -> jax.Array:
+    """[C, (B+1)*half] -> [B, C, 2*half] 50%-overlap frames as two shifted
+    CONTIGUOUS views + one concat — frame b is [y[b*half:(b+1)*half] ‖
+    y[(b+1)*half:(b+2)*half]], so the overlapped "gather" is just
+    reshapes.  The gather formulation (jnp.take with a [B, 2*half] index
+    matrix) measured 11.8 ms per 512-block chunk on the TPU — it was the
+    single largest op in the whole encode chain; this is ~0.1 ms."""
+    c = y.shape[0]
+    b = y.shape[1] // half - 1
+    first = y[:, : b * half].reshape(c, b, half)
+    second = y[:, half:].reshape(c, b, half)
+    return jnp.concatenate([first, second], axis=-1).transpose(1, 0, 2)
 
 
 def frame_blocks_np(pcm: np.ndarray, half: int, b_pad: int) -> np.ndarray:
@@ -364,11 +377,7 @@ def _chunk_analyze_fn(cfg: CodecConfig, precision: str = "f32"):
     half = cfg.n_mdct_lines
 
     def run(pcm: jax.Array, consts: dict):
-        b = pcm.shape[1] // half - 1
-        idx = (jnp.arange(b)[:, None] * half
-               + jnp.arange(2 * half)[None, :])
-        frames = jnp.take(pcm, idx, axis=1).transpose(1, 0, 2)
-        return body(frames, consts)
+        return body(_overlap_frames(pcm, half), consts)
 
     return jax.jit(run)
 
@@ -392,11 +401,7 @@ def _chunk_encode_fn(cfg: CodecConfig, pack_words: int = 0,
     half = cfg.n_mdct_lines
 
     def run(pcm: jax.Array, extra0: jax.Array, consts: dict):
-        b = pcm.shape[1] // half - 1
-        idx = (jnp.arange(b)[:, None] * half
-               + jnp.arange(2 * half)[None, :])
-        frames = jnp.take(pcm, idx, axis=1).transpose(1, 0, 2)
-        return body(frames, extra0, consts)
+        return body(_overlap_frames(pcm, half), extra0, consts)
 
     return jax.jit(run)
 

@@ -70,10 +70,8 @@ def _frames_with_halo(x_local: jax.Array, half: int, n_dev: int) -> jax.Array:
     halo = jnp.where(jax.lax.axis_index(BLOCK_AXIS) == 0,
                      jnp.zeros_like(halo), halo)
     y = jnp.concatenate([halo, x_local], axis=1)
-    b_local = x_local.shape[1] // half
-    idx = (jnp.arange(b_local)[:, None] * half
-           + jnp.arange(2 * half)[None, :])
-    return jnp.take(y, idx, axis=1).transpose(1, 0, 2)
+    from pactpu.codec.engine import _overlap_frames
+    return _overlap_frames(y, half)
 
 
 @lru_cache(maxsize=8)

@@ -110,6 +110,37 @@ def _f0(a):
     return v - v
 
 
+def _f0_tree(out):
+    """_f0 over EVERY array leaf of a pytree output.
+
+    Reading one output is not enough: XLA backward-DCEs every branch the
+    carry does not consume (first observed on the analyze stage, whose
+    `mixed` output does not depend on the psychoacoustic thresholds — the
+    whole psych model was being deleted, under-reporting the stage by
+    ~7 ms)."""
+    import jax
+    import jax.numpy as jnp
+    total = jnp.float32(0.0)
+    for leaf in jax.tree.leaves(out):
+        total = total + jnp.sum(leaf.astype(jnp.float32))
+    return total - total
+
+
+def _perturb_tree(tree, eps):
+    """Add a dynamic zero to every FLOAT leaf of an input pytree so no
+    stage input is loop-invariant (XLA hoists computations that depend
+    only on invariant inputs out of the measurement loop)."""
+    import jax
+    import jax.numpy as jnp
+
+    def bump(leaf):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf + eps.astype(leaf.dtype)
+        return leaf
+
+    return jax.tree.map(bump, tree)
+
+
 def measure_device_compute(pcm: Optional[np.ndarray] = None,
                            blocks: int = 512, iters: int = 20,
                            eng=None) -> dict:
@@ -168,27 +199,22 @@ def measure_device_compute(pcm: Optional[np.ndarray] = None,
     ex_dev, _ = scan(m_dev["savings"], m_dev["leftover"], valid, carry0)
     out_dev = jax.block_until_ready(finalize(a_dev, ex_dev, consts))
 
-    def perturb_analysis(eps):
-        a = dict(a_dev)
-        a["mixed"] = a["mixed"] + eps.astype(a["mixed"].dtype)
-        return a
-
     stages = {
         "analyze": (
             lambda eps: analyze(dev_pcm + eps.astype(jnp.int16), consts),
-            lambda out: _f0(out["mixed"])),
+            _f0_tree),
         "measure": (
-            lambda eps: measure(perturb_analysis(eps), zeros, consts),
-            lambda out: _f0(out["savings"].astype(jnp.float32))),
+            lambda eps: measure(_perturb_tree(a_dev, eps), zeros, consts),
+            _f0_tree),
         "reservoir_scan": (
             lambda eps: scan(m_dev["savings"]
                              + eps.astype(m_dev["savings"].dtype),
                              m_dev["leftover"], valid, carry0),
-            lambda out: _f0(out[0])),
+            _f0_tree),
         "finalize": (
-            lambda eps: finalize(perturb_analysis(eps), ex_dev, consts),
-            lambda out: _f0((out["words"] if "words" in out
-                             else out["codes"]).astype(jnp.float32))),
+            lambda eps: finalize(_perturb_tree(a_dev, eps), ex_dev + eps,
+                                 consts),
+            _f0_tree),
     }
     flop_args = {
         "analyze": (analyze, dev_pcm, consts),
@@ -204,7 +230,7 @@ def measure_device_compute(pcm: Optional[np.ndarray] = None,
             lambda eps: compact(out_dev["words"]
                                 + eps.astype(jnp.uint32),
                                 out_dev["nbits"]),
-            lambda out: _f0(out.astype(jnp.float32)))
+            _f0_tree)
         flop_args["compact"] = (compact, out_dev["words"], out_dev["nbits"])
 
     stage_ms, stage_flops = {}, {}
@@ -222,18 +248,14 @@ def measure_device_compute(pcm: Optional[np.ndarray] = None,
     args = [a if (a is None or isinstance(a, dict))
             else jax.device_put(jnp.asarray(a)) for a in chunk_args[0]]
     dcarry = jnp.zeros((cc, half), E._dtype(eng.precision))
-    # the first positional is the payload/mantissa carrier in every decode
-    # staging variant's arg tuple with an integer dtype — perturb it
-    pi = next(i for i, a in enumerate(args)
-              if a is not None and not isinstance(a, dict))
 
     def decode_stage(eps):
-        a2 = list(args)
-        a2[pi] = a2[pi] + eps.astype(a2[pi].dtype)
-        return runs[0](*a2, dcarry, consts)
+        a2 = [a if (a is None or isinstance(a, dict)
+                    or a.dtype == jnp.bool_)
+              else a + eps.astype(a.dtype) for a in args]
+        return runs[0](*a2, dcarry + eps.astype(dcarry.dtype), consts)
 
-    stage_ms["decode"] = 1000 * _time_loop(
-        decode_stage, lambda out: _f0(out[0].astype(jnp.float32)), iters)
+    stage_ms["decode"] = 1000 * _time_loop(decode_stage, _f0_tree, iters)
     stage_flops["decode"] = _program_flops(runs[0], *args, dcarry, consts)
     dt_dec = stage_ms["decode"] / 1000
 

@@ -195,3 +195,53 @@ def test_engine_device_parse_custom_tables(monkeypatch, tmp_path):
     monkeypatch.setenv("PACTPU_DECODE_PARSE", "device")
     _, out_d = eng.decode(stream)
     np.testing.assert_array_equal(out_h, out_d)
+
+
+def test_device_parse_multi_chunk(monkeypatch):
+    """Device parse across chunk boundaries (the OLA carry chains through
+    the payload-parse chunk program like every other decoder)."""
+    pcm = _tone_pcm(n=9 * 1024 + 100)
+    eng = Engine(chunk_blocks=4)            # forces multiple chunks
+    stream = eng.encode(pcm)
+    monkeypatch.setenv("PACTPU_DECODE_PARSE", "host")
+    _, out_h = eng.decode(stream)
+    monkeypatch.setenv("PACTPU_DECODE_PARSE", "device")
+    _, out_d = eng.decode(stream)
+    np.testing.assert_array_equal(out_h, out_d)
+
+
+def test_device_parse_custom_band_layout(monkeypatch):
+    """Self-describing nLines[] headers (tests/test_band_layouts contract)
+    decode identically through the device bit-walk."""
+    import dataclasses as dc
+
+    cfg = CodecConfig(band_line_counts=(100, 200, 300, 424))
+    pcm = _tone_pcm()
+    eng = Engine(cfg=cfg)
+    stream = eng.encode(pcm)
+    dec = Engine()                          # layout comes from the header
+    monkeypatch.setenv("PACTPU_DECODE_PARSE", "host")
+    _, out_h = dec.decode(stream)
+    monkeypatch.setenv("PACTPU_DECODE_PARSE", "device")
+    _, out_d = dec.decode(stream)
+    np.testing.assert_array_equal(out_h, out_d)
+
+
+def test_decode_parse_env_validated(monkeypatch):
+    pcm = _tone_pcm(n=2048)
+    eng = Engine()
+    stream = eng.encode(pcm)
+    monkeypatch.setenv("PACTPU_DECODE_PARSE", "bogus")
+    with pytest.raises(ValueError, match="PACTPU_DECODE_PARSE"):
+        eng.decode(stream)
+
+
+def test_frame_rows_word_cap_fallback():
+    """Rows wider than word_cap signal the caller to use the host parser
+    (None, None) instead of building a huge padded upload."""
+    payload = (int(10).to_bytes(4, "little") + bytes(10)
+               + int(100).to_bytes(4, "little") + bytes(100))
+    words, nbits = hd.frame_rows(payload, word_cap=8)
+    assert words is None and nbits is None
+    words, nbits = hd.frame_rows(payload, word_cap=32)
+    assert words.shape == (2, 25) and list(nbits) == [80, 800]

@@ -3,6 +3,8 @@ with the device encoder and the oracle decoder."""
 
 import heapq
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -280,3 +282,36 @@ def test_cli_train_encode_decode_roundtrip(tmp_path):
     _, ref = eng.decode(eng.encode(pcm))
     got = read_wav(str(out)).samples
     np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("npz", ["huffman_tables_corpus.npz",
+                                 "huffman_tables_493.npz"])
+def test_shipped_retrained_table_sets_roundtrip(npz):
+    """The corpus-retrained table sets shipped in pactpu/data (QUALITY.md
+    round-4 experiments) stay loadable and usable end to end: encode with
+    them, decode through both the native tree walk and the device LUT."""
+    import importlib.resources as res
+    import os
+
+    import numpy as np
+
+    from pactpu.codec.engine import Engine
+
+    path = str(res.files("pactpu").joinpath(f"data/{npz}"))
+    rng = np.random.default_rng(2)
+    n = 3 * 1024 + 99
+    t = np.arange(n) / 44100.0
+    pcm = np.clip(np.stack([np.sin(2 * np.pi * 440 * t),
+                            np.sin(2 * np.pi * 521 * t)], 1) * 15000
+                  + rng.standard_normal((n, 2)) * 200,
+                  -32768, 32767).astype(np.int16)
+    eng = Engine(tables=path)
+    stream = eng.encode(pcm)
+    fs, out = eng.decode(stream)
+    assert fs == 44100 and out.shape[0] >= n
+    os.environ["PACTPU_DECODE_PARSE"] = "device"
+    try:
+        fs2, out2 = eng.decode(stream)
+    finally:
+        del os.environ["PACTPU_DECODE_PARSE"]
+    np.testing.assert_array_equal(out, out2)
