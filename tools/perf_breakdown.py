@@ -2,13 +2,15 @@
 
 Runs the full encode+decode pipeline over real corpus inputs with the
 Engine's StageTimer enabled, measures the raw host<->device link bandwidth
-with calibration transfers, and writes PERF.md: per-stage wall clock, the
-implied tunnel bound, and where the remaining gap lives.
+with calibration transfers, and writes PERF_STAGES.md (PERF.md proper is
+hand-written analysis; this generated table backs its serving-stage
+claims): per-stage wall clock, the implied tunnel bound, and where the
+remaining gap lives.
 
 Stages tagged `-dispatch` measure async enqueue only; device execution
 time is absorbed by whichever later stage first blocks (downloads).
 
-Usage: python tools/perf_breakdown.py [--out PERF.md] [--reps 3]
+Usage: python tools/perf_breakdown.py [--out PERF_STAGES.md] [--reps 3]
 """
 
 from __future__ import annotations
@@ -101,7 +103,7 @@ def run_pipelined(reps: int, inputs: list) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="PERF.md")
+    ap.add_argument("--out", default="PERF_STAGES.md")
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
 
@@ -125,7 +127,7 @@ def main() -> int:
     rep = res["report"]
     total_staged = sum(v["total_s"] for v in rep.values())
     lines = [
-        "# PERF — single-chip stage breakdown",
+        "# PERF_STAGES — serving-path stage breakdown (generated)",
         "",
         f"Backend: **{backend}**; workload: encode+decode of "
         f"{res['blocks']} blocks (3 corpus files), reservoir mode, device "
