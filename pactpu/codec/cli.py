@@ -110,6 +110,8 @@ def cmd_encode(args) -> int:
 
 def cmd_decode(args) -> int:
     from pactpu.codec.wav import write_wav
+    if getattr(args, "decode_parse", None):
+        os.environ["PACTPU_DECODE_PARSE"] = args.decode_parse
     eng = _engine(args)
     with open(args.input, "rb") as f:
         data = f.read()
@@ -419,6 +421,13 @@ def main(argv=None) -> int:
     dec.add_argument("--fmt", choices=("wak", "pac"), default="wak")
     dec.add_argument("--window", choices=("sine", "kbd"), default=None,
                      help="must match the encode's --window")
+    dec.add_argument("--decode-parse", choices=("auto", "host", "device"),
+                     default=None, dest="decode_parse",
+                     help="Huffman payload parse placement: host = native "
+                          "C++ bit-walk (throughput default), device = "
+                          "the batched on-accelerator walk "
+                          "(pactpu.ops.huffman_decode); auto picks host "
+                          "when the native library exists")
     dec.add_argument("--tables", default=None,
                      help="Huffman table set .npz (must match the encode)")
     dec.set_defaults(fn=cmd_decode)

@@ -50,11 +50,23 @@ def main() -> None:
     import numpy as np
     pcm = make_test_pcm()
     res = cluster.encode_distributed(pcm, rate_mode="cbr")
+
+    # round-4: the raw-payload sharded decode crosses the process
+    # boundary too (every process holds the full stream; each uploads
+    # only its block range's compressed rows and the OLA carry rides the
+    # ppermute).  The stream comes from a single-process engine so the
+    # parent can compare against Engine.decode exactly.
+    from pactpu.codec.engine import Engine
+    stream = Engine(rate_mode="cbr").encode(pcm)
+    dec = cluster.decode_distributed(stream)
+
     np.savez(os.path.join(outdir, f"part_{pid}.npz"),
              payload=np.frombuffer(res.payload, np.uint8),
              header=np.frombuffer(res.header, np.uint8),
              block_start=res.block_start, n_blocks=res.n_blocks,
-             n_blocks_total=res.n_blocks_total, histogram=res.histogram)
+             n_blocks_total=res.n_blocks_total, histogram=res.histogram,
+             dec_pcm=dec.pcm, dec_start=dec.sample_start,
+             dec_total=dec.num_samples, dec_fs=dec.sample_rate)
     cluster.shutdown()
 
 

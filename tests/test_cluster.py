@@ -52,12 +52,17 @@ def test_two_process_fake_cluster_matches_single_process(tmp_path):
 
     parts = []
     hists = []
+    dec_parts = []
     header = None
     total = None
+    dec_total = dec_fs = None
     for pid in range(nproc):
         with np.load(tmp_path / f"part_{pid}.npz") as z:
             parts.append((int(z["block_start"]), z["payload"].tobytes()))
             hists.append(z["histogram"])
+            dec_parts.append((int(z["dec_start"]), z["dec_pcm"]))
+            dec_total = int(z["dec_total"])
+            dec_fs = int(z["dec_fs"])
             header = z["header"].tobytes()
             total = int(z["n_blocks_total"])
 
@@ -97,3 +102,14 @@ def test_two_process_fake_cluster_matches_single_process(tmp_path):
         syms = np.concatenate([syms, np.asarray(zout["syms"]).reshape(-1)])
     expect = np.bincount(syms[syms >= 0], minlength=1 << 15)
     np.testing.assert_array_equal(hists[0], expect)
+
+    # round-4 raw-payload sharded decode across the process boundary:
+    # assembled per-range PCM equals the single-process Engine.decode of
+    # the same stream (the workers decoded a single-process cbr stream)
+    from pactpu.parallel.cluster import assemble_pcm
+    got = assemble_pcm(dec_parts, dec_total)
+    fs_ref, ref_pcm = Engine(rate_mode="cbr").decode(ref)
+    assert dec_fs == fs_ref
+    assert got.shape == ref_pcm.shape
+    assert np.abs(got.astype(np.int32)
+                  - ref_pcm.astype(np.int32)).max() <= 1

@@ -141,3 +141,49 @@ def test_payload_swap_between_blocks(valid_stream):
     n1 = int(np.frombuffer(rest[:4], np.uint32)[0])
     b1 = rest[:4 + n1]
     _try_decode(eng, blob[:hdr] + b1 + b0 + rest[4 + n1:])
+
+
+# ---------------------------------------------------------------------------
+# device-parse path (round-4 PACTPU_DECODE_PARSE=device): same contract —
+# corrupt input either decodes to SOME int16 PCM or raises cleanly; never
+# hangs, crashes, or produces a malformed array
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def _force_device_parse(monkeypatch):
+    monkeypatch.setenv("PACTPU_DECODE_PARSE", "device")
+
+
+def test_device_parse_truncated_streams(valid_stream, _force_device_parse):
+    eng, blob = valid_stream
+    hdr = header_size(blob)
+    for cut in [0, 1, 3, hdr - 1, hdr, hdr + 1, hdr + 5,
+                len(blob) // 2, len(blob) - 1]:
+        _try_decode(eng, blob[:cut])
+
+
+def test_device_parse_byte_corruption(valid_stream, _force_device_parse):
+    eng, blob = valid_stream
+    hdr = header_size(blob)
+    rng = np.random.default_rng(7)
+    arr = np.frombuffer(blob, np.uint8).copy()
+    for _ in range(40):
+        mutant = arr.copy()
+        pos = rng.integers(hdr, len(blob))
+        mutant[pos] ^= 1 << rng.integers(0, 8)
+        _try_decode(eng, mutant.tobytes())
+    mutant = arr.copy()
+    mutant[hdr:hdr + 4] = 0xFF
+    _try_decode(eng, mutant.tobytes())
+    mutant = arr.copy()
+    mutant[hdr:hdr + 4] = 0
+    _try_decode(eng, mutant.tobytes())
+
+
+def test_device_parse_garbage_streams(valid_stream, _force_device_parse):
+    eng, blob = valid_stream
+    rng = np.random.default_rng(8)
+    for n in (0, 1, 16, len(blob)):
+        _try_decode(eng, rng.integers(0, 256, n, np.uint8).tobytes())
+    _try_decode(eng, blob[:4] + rng.integers(0, 256, 64, np.uint8).tobytes())
