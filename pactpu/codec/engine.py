@@ -1403,8 +1403,6 @@ class Engine:
             # flag-gated extension decoded by a window="kbd" engine)
             import dataclasses
             cfg = dataclasses.replace(cfg, window=self.cfg.window)
-        half = cfg.n_mdct_lines
-        c = cfg.n_channels
         huff = self.fmt == "wak"
 
         parse_env = os.environ.get("PACTPU_DECODE_PARSE", "auto")
@@ -1433,7 +1431,6 @@ class Engine:
         the stream/table set needs the host parser (rows wider than the
         largest bucket, or code lengths past the LUT cap)."""
         from pactpu.ops import huffman_decode as hd
-        half = cfg.n_mdct_lines
         c = cfg.n_channels
         lut = None
         if huff:
@@ -1472,7 +1469,6 @@ class Engine:
                                    num_samples: int, huff: bool):
         """Stage a host-parse decode (native C++ bit-walk + quantized-array
         or packed-word uploads)."""
-        half = cfg.n_mdct_lines
         c = cfg.n_channels
         with self._stage("decode/parse-native"):
             parsed = native.unpack_file(
@@ -1574,14 +1570,14 @@ class Engine:
         """Async half of decode: stage, upload, dispatch; returns the
         staged state for `_decode_finish` without blocking on device
         results."""
-        (cfg, num_samples, b, c, sizes, offs, runs,
+        (cfg, num_samples, b, c, sizes, _offs, runs,
          chunk_args) = self._decode_staging(data)
         half = cfg.n_mdct_lines
         consts = self.consts()
         pcm_chunks, bad_chunks = [], []
         carry = jnp.zeros((c, half), _dtype(self.precision))
         with self._stage("decode/upload+dispatch"):
-            for k, sz in enumerate(sizes):
+            for k in range(len(sizes)):
                 args = [a if (a is None or isinstance(a, dict))
                         else jnp.asarray(a) for a in chunk_args[k]]
                 res = runs[k](*args, carry, consts)

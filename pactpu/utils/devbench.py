@@ -242,7 +242,7 @@ def measure_device_compute(pcm: Optional[np.ndarray] = None,
     # --- decode compute: the exact chunk programs _decode_dispatch runs,
     # on the device-resident uploads of a real encoded stream ---
     stream = eng.encode(pcm)
-    (dcfg, _, b, cc, sizes, offs, runs,
+    (_dcfg, _, b, cc, sizes, _offs, runs,
      chunk_args) = eng._decode_staging(stream)
     assert b == blocks and len(sizes) == 1, (b, sizes)
     args = [a if (a is None or isinstance(a, dict))
