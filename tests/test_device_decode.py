@@ -245,3 +245,18 @@ def test_frame_rows_word_cap_fallback():
     assert words is None and nbits is None
     words, nbits = hd.frame_rows(payload, word_cap=32)
     assert words.shape == (2, 25) and list(nbits) == [80, 800]
+
+
+def test_device_parse_kbd_window(monkeypatch):
+    """KBD-window streams (the flag-gated extension) decode identically
+    through the device bit-walk (the parse is bit-level; synthesis
+    follows the decoding engine's configured window)."""
+    cfg = CodecConfig(window="kbd")
+    pcm = _tone_pcm()
+    eng = Engine(cfg=cfg)
+    stream = eng.encode(pcm)
+    monkeypatch.setenv("PACTPU_DECODE_PARSE", "host")
+    _, out_h = eng.decode(stream)
+    monkeypatch.setenv("PACTPU_DECODE_PARSE", "device")
+    _, out_d = eng.decode(stream)
+    np.testing.assert_array_equal(out_h, out_d)
