@@ -116,7 +116,17 @@ def cmd_decode(args) -> int:
     with open(args.input, "rb") as f:
         data = f.read()
     t0 = time.time()
-    fs, pcm = eng.decode(data)
+    if getattr(args, "range", None):
+        try:
+            s0_s, _, cnt_s = args.range.partition(":")
+            s0, cnt = int(s0_s), int(cnt_s)
+        except ValueError:
+            print(f"--range expects START:COUNT, got {args.range!r}",
+                  file=sys.stderr)
+            return 1
+        fs, pcm = eng.decode_range(data, s0, cnt)
+    else:
+        fs, pcm = eng.decode(data)
     elapsed = time.time() - t0
     write_wav(args.output, fs, pcm)
     print(f"decoded: {pcm.shape[0]} samples @ {fs} Hz in {elapsed:.2f}s")
@@ -421,6 +431,11 @@ def main(argv=None) -> int:
     dec.add_argument("--fmt", choices=("wak", "pac"), default="wak")
     dec.add_argument("--window", choices=("sine", "kbd"), default=None,
                      help="must match the encode's --window")
+    dec.add_argument("--range", default=None, metavar="START:COUNT",
+                     help="random-access decode of just this sample "
+                          "window (the nBytes framing makes streams "
+                          "seekable; only the needed coded blocks are "
+                          "read/decoded)")
     dec.add_argument("--decode-parse", choices=("auto", "host", "device"),
                      default=None, dest="decode_parse",
                      help="Huffman payload parse placement: host = native "

@@ -1366,6 +1366,93 @@ class Engine:
         declares, pacfile.py:231-271 incl. the Q6 padding quirk)."""
         return self._decode_finish(*self._decode_dispatch(data))
 
+    def decode_range(self, data: bytes, start_sample: int,
+                     num_samples: int) -> tuple[int, np.ndarray]:
+        """Random-access decode: (sample_rate, int16 [n, C]) for the
+        sample window [start_sample, start_sample + num_samples) WITHOUT
+        decoding the rest of the stream.
+
+        The per-channel-block nBytes prefixes make .pac/.wak streams
+        seekable (reference codec/pacfile.py:170-183, a property the
+        reference never exploits — its driver always decodes whole
+        files): the host scans prefixes to the needed coded-block range,
+        slices those payload bytes, and every existing chunk decoder
+        (host-parse, device-parse, any format/layout) runs on the slice.
+        Audio block i needs frames [i, i+1] (output block i = OLA of
+        frame i's second half and frame i+1's first half), so a window
+        costs ceil(window/1024) + 1 coded blocks of work regardless of
+        file length.  Output equals the same slice of a full decode()
+        exactly."""
+        cfg, total_samples, off = rc.read_header(data)
+        half = cfg.n_mdct_lines
+        c = cfg.n_channels
+        # the window is the INTERSECTION of [start, start + num) with the
+        # stream: a negative start clips, it does not extend
+        s0 = max(0, int(start_sample))
+        s1 = min(int(total_samples),
+                 int(start_sample) + max(0, int(num_samples)))
+        if s1 <= s0:
+            return cfg.sample_rate, np.zeros((0, c), np.int16)
+
+        # scan the nBytes prefixes up to the last frame the window needs
+        payload = data[off:]
+        i0, i1 = s0 // half, (s1 - 1) // half      # audio block range
+        spans = []                                  # per-FRAME byte spans
+        pos = 0
+        frame = 0
+        while pos < len(payload):
+            start = pos
+            for _ in range(c):
+                if pos + 4 > len(payload):
+                    raise ValueError("truncated channel-block header")
+                nb = int.from_bytes(payload[pos:pos + 4], "little")
+                pos += 4 + nb
+                if pos > len(payload):
+                    raise ValueError("corrupt payload: channel-block "
+                                     "length exceeds the stream")
+            spans.append((start, pos))
+            frame += 1
+            if frame > i1 + 1:
+                break
+        b = frame if pos >= len(payload) else None  # known only if scanned
+        last = len(spans) - 1                       # last scanned frame
+        f0 = min(i0, last)
+        f1 = min(i1 + 1, last)
+        at_eof = f1 == last and (b is not None and last == b - 1)
+
+        header, _ = rc.write_header(cfg, total_samples)
+        mini = header + payload[spans[f0][0]:spans[f1][1]]
+        (mcfg, _, mb, mc, sizes, _offs, runs,
+         chunk_args) = self._decode_staging(mini)
+        assert mb == f1 - f0 + 1 and mc == c
+        consts = self.consts()
+        pcm_chunks, bad_chunks = [], []
+        carry = jnp.zeros((c, half), _dtype(self.precision))
+        for k in range(len(sizes)):
+            args = [a if (a is None or isinstance(a, dict))
+                    else jnp.asarray(a) for a in chunk_args[k]]
+            res = runs[k](*args, carry, consts)
+            pcm_chunks.append(res[0])
+            carry = res[1]
+            if len(res) > 2:
+                bad_chunks.append(res[2])
+        tail = q_ops.float_to_pcm16(carry)[None]
+        ola = np.asarray(jnp.concatenate(pcm_chunks + [tail])[:mb + 1])
+        if bad_chunks:
+            bad = np.asarray(jnp.concatenate(bad_chunks))[:mb * c]
+            if bad.any():
+                raise ValueError(
+                    f"corrupt payload at channel-block "
+                    f"{f0 * c + int(np.argmax(bad))}")
+        # row t = OLA of frames f0+t-1, f0+t -> audio block f0+t-1; row 0
+        # lacks its true carry and is dropped (same as the whole-file
+        # decoder's first-block skip); the tail row is the final flush,
+        # valid only at end of stream
+        rows = ola[1:mb + (1 if at_eof else 0)]
+        audio = rows.transpose(1, 0, 2).reshape(c, -1).T
+        base = f0 * half
+        return cfg.sample_rate, audio[s0 - base:s1 - base].copy()
+
     def decode_many(self, datas) -> list:
         """Throughput-oriented batch decode: parse/upload/dispatch every
         stream before any PCM download blocks (see encode_many)."""
