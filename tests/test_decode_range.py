@@ -85,3 +85,12 @@ def test_range_mono_and_pac(monkeypatch):
             _, part = eng.decode_range(stream, s0, cnt)
             np.testing.assert_array_equal(part, full[s0:s0 + cnt],
                                           err_msg=f"{eng.fmt} {s0}:{cnt}")
+
+
+def test_range_no_native(stereo_case, monkeypatch):
+    """Range decode under the no-native contract (pure-Python framing is
+    untouched; the device bit-walk parses the slice)."""
+    eng, stream, fs, full = stereo_case
+    monkeypatch.setenv("PACTPU_NO_NATIVE", "1")
+    _, part = Engine().decode_range(stream, 2000, 3000)
+    np.testing.assert_array_equal(part, full[2000:5000])
