@@ -94,9 +94,24 @@ def water_fill(total_bits: jax.Array, max_mant_bits: int,
     max_iters = n_bands * (max_mant_bits + 1)
     bits0 = jnp.zeros((r, n_bands), jnp.int32)
     valid0 = jnp.ones((r, n_bands), bool)
-    bits, total, _ = jax.lax.fori_loop(
-        0, max_iters, body,
-        (bits0, jnp.asarray(total_bits, jnp.int32), valid0))
+
+    # exact early exit: once every row's bands are retired the body is a
+    # provable no-op (active false -> grant = kill = 0), so a while-loop
+    # keyed on any-row-active skips the dead tail (real rows finish in
+    # ~100-150 of the 425 worst-case trips) — same trick as the Pallas
+    # kernel, and what makes the per-block exact-mode scan affordable
+    def cond(state):
+        i, _, _, valid = state
+        return jnp.logical_and(i < max_iters, valid.any())
+
+    def wbody(state):
+        i, bits, total, valid = state
+        bits, total, valid = body(i, (bits, total, valid))
+        return i + 1, bits, total, valid
+
+    _, bits, total, _ = jax.lax.while_loop(
+        cond, wbody,
+        (jnp.int32(0), bits0, jnp.asarray(total_bits, jnp.int32), valid0))
 
     ones_mask = bits == 1
     refund = jnp.sum(jnp.where(ones_mask, n_lines[None], 0), axis=1)
