@@ -228,7 +228,18 @@ def closed_form_takeback(bits0: jax.Array, bit_budget: jax.Array,
 
     total0 = jnp.sum(bits0 * nl[None], axis=1)
     state = (bits0, total0, jnp.ones((r, n_bands), bool), smr)
-    bits, _, _, _ = jax.lax.fori_loop(0, trips, body, state)
+
+    # exact early exit (no-op tail once every row's bands are retired)
+    def cond(s):
+        i, (_, _, valid, _) = s
+        return jnp.logical_and(i < trips, valid.any())
+
+    def wbody(s):
+        i, st = s
+        return i + 1, body(i, st)
+
+    _, (bits, _, _, _) = jax.lax.while_loop(
+        cond, wbody, (jnp.int32(0), state))
     return bits
 
 
@@ -369,8 +380,18 @@ def alloc_uniform_batch(total_bits: jax.Array, max_mant_bits: int,
         return alloc, jnp.where(take, nxt, remaining), stopped
 
     iters = _legacy_iter_bound(budget_cap, n_lines, int(n_bands))
-    alloc, _, _ = jax.lax.fori_loop(
-        0, iters, body, (alloc, remaining, jnp.zeros(r, bool)))
+
+    def cond(s):
+        i, (_, _, stopped) = s
+        return jnp.logical_and(i < iters, ~stopped.all())
+
+    def wbody(s):
+        i, st = s
+        return i + 1, body(i, st)
+
+    _, (alloc, _, _) = jax.lax.while_loop(
+        cond, wbody, (jnp.int32(0),
+                      (alloc, remaining, jnp.zeros(r, bool))))
     return _greedy_floor(alloc, max_mant_bits)
 
 
@@ -398,10 +419,19 @@ def _greedy_noise_floor_batch(total_bits: jax.Array, max_mant_bits: int,
         return alloc, remaining, level
 
     iters = _legacy_iter_bound(budget_cap, n_lines, int(n_bands))
-    alloc, _, _ = jax.lax.fori_loop(
-        0, iters, body,
-        (jnp.zeros((r, n_bands), jnp.int32), total,
-         level.astype(jnp.float32)))
+
+    def cond(s):
+        i, (_, remaining, _) = s
+        return jnp.logical_and(i < iters, (remaining > 0).any())
+
+    def wbody(s):
+        i, st = s
+        return i + 1, body(i, st)
+
+    _, (alloc, _, _) = jax.lax.while_loop(
+        cond, wbody,
+        (jnp.int32(0), (jnp.zeros((r, n_bands), jnp.int32), total,
+                        level.astype(jnp.float32))))
     return _greedy_floor(alloc, max_mant_bits)
 
 
