@@ -789,12 +789,29 @@ def _reservoir_scan_fn(cfg: CodecConfig):
                      jnp.where(v, l, extra).astype(jnp.int32))
         return new_carry, jnp.where(v, granted, 0)
 
+    # 8 sequential policy steps per scan iteration: the math is a handful
+    # of scalar ops, so the 512-trip scan was pure loop overhead (~2 µs/
+    # trip, 1.1 ms per chunk); unrolling divides the trip count by 8 with
+    # bit-identical results (chunk sizes are all multiples of 8)
+    unroll = 8
+
+    def step8(carry, xs):
+        outs = []
+        for j in range(unroll):
+            carry, g = step(carry, (xs[0][j], xs[1][j], xs[2][j]))
+            outs.append(g)
+        return carry, jnp.stack(outs)
+
     def run(savings, leftover, valid, carry):
+        b = valid.shape[0]
+        assert b % unroll == 0, b
+        s = jnp.sum(savings.astype(jnp.int32), axis=1).reshape(-1, unroll)
+        le = leftover.astype(jnp.int32).reshape(-1, unroll)
+        v = valid.reshape(-1, unroll)
         (dep, ext), extras = jax.lax.scan(
-            step, (carry[0], carry[1]),
-            (jnp.sum(savings.astype(jnp.int32), axis=1),
-             leftover.astype(jnp.int32), valid))
-        return extras.astype(jnp.float32), jnp.stack([dep, ext])
+            step8, (carry[0], carry[1]), (s, le, v))
+        return (extras.reshape(b).astype(jnp.float32),
+                jnp.stack([dep, ext]))
 
     return jax.jit(run)
 

@@ -94,10 +94,16 @@ def _time_loop(stage, feedback, iters: int) -> float:
         return time.perf_counter() - t0
 
     # two trip counts; the slope removes the constant dispatch + fetch
-    # round-trip cost from the per-iteration figure
+    # round-trip cost from the per-iteration figure.  min-of-3 per point
+    # (and a retry on a non-positive slope) defends against multi-second
+    # tunnel stalls landing inside one sample and inverting the slope —
+    # observed producing 0.0 ms stage readings
     n_lo = max(2, iters // 4)
-    t_lo = min(timed(n_lo) for _ in range(2))
-    t_hi = min(timed(n_lo + iters) for _ in range(2))
+    for _ in range(3):
+        t_lo = min(timed(n_lo) for _ in range(3))
+        t_hi = min(timed(n_lo + iters) for _ in range(3))
+        if t_hi > t_lo:
+            return (t_hi - t_lo) / iters
     return max(t_hi - t_lo, 1e-9) / iters
 
 
