@@ -804,13 +804,15 @@ def _reservoir_scan_fn(cfg: CodecConfig):
 
     def run(savings, leftover, valid, carry):
         b = valid.shape[0]
-        assert b % unroll == 0, b
-        s = jnp.sum(savings.astype(jnp.int32), axis=1).reshape(-1, unroll)
-        le = leftover.astype(jnp.int32).reshape(-1, unroll)
-        v = valid.reshape(-1, unroll)
+        pad = (-b) % unroll        # invalid steps are exact no-ops
+        s = jnp.pad(jnp.sum(savings.astype(jnp.int32), axis=1),
+                    (0, pad)).reshape(-1, unroll)
+        le = jnp.pad(leftover.astype(jnp.int32), (0, pad)).reshape(
+            -1, unroll)
+        v = jnp.pad(valid, (0, pad)).reshape(-1, unroll)
         (dep, ext), extras = jax.lax.scan(
             step8, (carry[0], carry[1]), (s, le, v))
-        return (extras.reshape(b).astype(jnp.float32),
+        return (extras.reshape(b + pad)[:b].astype(jnp.float32),
                 jnp.stack([dep, ext]))
 
     return jax.jit(run)
