@@ -303,28 +303,45 @@ def _greedy_noise_floor(bit_budget: int, max_mant_bits: int,
                         n_lines: jax.Array, level: jax.Array) -> jax.Array:
     """Shared greedy core of ConstSNR/ConstMNR (codec/bitalloc.py:60-125):
     give a bit to argmax(level), lower that level by 6 dB, until the budget
-    can no longer pay (bounded here, where the reference can spin forever
-    once every band is capped)."""
+    can no longer pay.
+
+    The reference's walk *skips* when the argmax band is capped or
+    unaffordable (dropping only its level), so its trip count grows with
+    the level spread — and it can spin forever once every band is capped.
+    Here the argmax is masked to the *grantable* bands, which is exactly
+    equivalent in the final allocation: grantability is monotone
+    decreasing (`remaining` only falls, `alloc` only rises), and the skip
+    drops of non-grantable levels never change the ordering among
+    grantable bands — so the same grants happen in the same order, minus
+    the skip trips.  Every trip grants, so the walk is bounded by the
+    grant count (<= budget // min(nLines))."""
     import numpy as np
     min_lines = max(1, int(np.min(np.asarray(n_lines))))
     n_lines = jnp.asarray(n_lines, jnp.int32)
     n_bands = n_lines.shape[0]
-    max_iters = int(bit_budget) // min_lines + 16 * n_bands
+    max_iters = _legacy_iter_bound(int(bit_budget), n_lines, int(n_bands))
 
-    def body(_, state):
-        alloc, remaining, level = state
-        band = jnp.argmax(level)
-        ok = (alloc[band] < max_mant_bits) & (remaining - n_lines[band] >= 0)
-        live = remaining > 0
-        alloc = alloc.at[band].add(jnp.where(live & ok, 1, 0))
-        remaining = remaining - jnp.where(live & ok, n_lines[band], 0)
-        level = level.at[band].add(jnp.where(live, -6.0, 0.0))
-        return alloc, remaining, level
+    def can_grant(alloc, remaining):
+        return (alloc < max_mant_bits) & (remaining >= n_lines)
 
-    alloc, _, _ = jax.lax.fori_loop(
-        0, max_iters, body,
-        (jnp.zeros((n_bands,), jnp.int32), jnp.int32(bit_budget),
-         level.astype(jnp.float32)))
+    def cond(s):
+        i, (alloc, remaining, _) = s
+        return jnp.logical_and(i < max_iters,
+                               can_grant(alloc, remaining).any())
+
+    def body(s):
+        i, (alloc, remaining, level) = s
+        can = can_grant(alloc, remaining)
+        band = jnp.argmax(jnp.where(can, level, -jnp.inf))
+        alloc = alloc.at[band].add(1)
+        remaining = remaining - n_lines[band]
+        level = level.at[band].add(-6.0)
+        return i + 1, (alloc, remaining, level)
+
+    _, (alloc, _, _) = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), (jnp.zeros((n_bands,), jnp.int32),
+                        jnp.int32(bit_budget), level.astype(jnp.float32))))
     return _greedy_floor(alloc, max_mant_bits)
 
 
@@ -343,9 +360,11 @@ def alloc_const_mnr(bit_budget: int, max_mant_bits: int, n_lines: jax.Array,
 
 
 def _legacy_iter_bound(budget_cap: int, n_lines, n_bands: int) -> int:
-    """Static fori_loop trip bound for the legacy allocators: every taken
-    step spends at least min(nLines) bits (reference walks the same
-    budget), plus a lap of band-skips."""
+    """Static loop trip bound for the legacy allocators.  With the
+    masked-argmax formulation every trip grants a bit, so trips are
+    bounded by the grant count: budget // min(nLines) paid grants plus
+    16 * n_bands slack for degenerate zero-cost bands (nLines == 0 grants
+    are free but cap at max_mant_bits <= 16 per band)."""
     min_lines = max(1, int(np.min(np.asarray(n_lines))))
     return int(budget_cap) // min_lines + 16 * n_bands
 
@@ -400,33 +419,41 @@ def _greedy_noise_floor_batch(total_bits: jax.Array, max_mant_bits: int,
                               budget_cap: int) -> jax.Array:
     """Batched greedy core of ConstSNR/ConstMNR (reference
     codec/bitalloc.py:60-125): per row, grant a bit to argmax(level) and
-    drop that level 6 dB until the budget runs out."""
+    drop that level 6 dB until the budget runs out.
+
+    Argmax is masked to the grantable bands — exactly equivalent to the
+    reference's skip-and-drop walk (see _greedy_noise_floor) but bounded
+    by the grant count, so large level spreads cannot truncate it against
+    the static trip cap."""
     nl = jnp.asarray(n_lines, jnp.int32)
     n_bands = nl.shape[0]
     total = jnp.asarray(total_bits, jnp.int32)
     r = total.shape[0]
     row = jnp.arange(r)
 
-    def body(_, state):
+    def can_grant(alloc, remaining):
+        return (alloc < max_mant_bits) & (remaining[:, None] >= nl[None, :])
+
+    def body(state):
         alloc, remaining, level = state
-        band = jnp.argmax(level, axis=1)                  # [R]
-        cur = alloc[row, band]
-        ok = (cur < max_mant_bits) & (remaining - nl[band] >= 0)
-        live = remaining > 0
-        alloc = alloc.at[row, band].add(jnp.where(live & ok, 1, 0))
-        remaining = remaining - jnp.where(live & ok, nl[band], 0)
-        level = level.at[row, band].add(jnp.where(live, -6.0, 0.0))
+        can = can_grant(alloc, remaining)                 # [R, nb]
+        band = jnp.argmax(jnp.where(can, level, -jnp.inf), axis=1)
+        ok = jnp.take_along_axis(can, band[:, None], axis=1)[:, 0]
+        alloc = alloc.at[row, band].add(jnp.where(ok, 1, 0))
+        remaining = remaining - jnp.where(ok, nl[band], 0)
+        level = level.at[row, band].add(jnp.where(ok, -6.0, 0.0))
         return alloc, remaining, level
 
     iters = _legacy_iter_bound(budget_cap, n_lines, int(n_bands))
 
     def cond(s):
-        i, (_, remaining, _) = s
-        return jnp.logical_and(i < iters, (remaining > 0).any())
+        i, (alloc, remaining, _) = s
+        return jnp.logical_and(i < iters,
+                               can_grant(alloc, remaining).any())
 
     def wbody(s):
         i, st = s
-        return i + 1, body(i, st)
+        return i + 1, body(st)
 
     _, (alloc, _, _) = jax.lax.while_loop(
         cond, wbody,

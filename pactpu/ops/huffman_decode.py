@@ -58,11 +58,15 @@ MAX_LUT_BITS = 24            # refuse tables whose LUT would exceed 2^24/table
 
 
 def _tables_fingerprint(tables) -> tuple:
+    """Cache key for a table set: shape + a real content digest.  A sum
+    fingerprint can collide across distinct trained sets (e.g. permuted
+    codes preserve sums) and silently decode with a stale LUT."""
+    import hashlib
     lengths, codes, esc_len, esc_codes = tables
-    return (lengths.shape,
-            int(np.asarray(lengths, np.int64).sum()),
-            int(np.asarray(codes, np.int64).sum()),
-            int(np.asarray(esc_codes, np.int64).sum()))
+    h = hashlib.sha1()
+    for a in (lengths, codes, esc_len, esc_codes):
+        h.update(np.ascontiguousarray(np.asarray(a, np.int64)).tobytes())
+    return (lengths.shape, h.hexdigest())
 
 
 _lut_cache: dict = {}

@@ -109,6 +109,27 @@ def assemble_stream(header: bytes,
     return header + b"".join(p for _, p in sorted(parts))
 
 
+@jax.jit
+def _global_masked_max(x: jax.Array, n_real) -> jax.Array:
+    """max(x[:n_real]) of a globally-sharded 1-D array, as a replicated
+    scalar every process can read.  Used for cross-process decisions
+    (e.g. the packer-overflow re-run): a process-LOCAL reduction would
+    let hosts diverge on whether to re-execute a program containing
+    collectives — a deadlock (round-4 advisor, high)."""
+    i = jnp.arange(x.shape[0], dtype=jnp.int32)
+    return jnp.max(jnp.where(i < n_real, x, 0))
+
+
+@jax.jit
+def _global_masked_any(x: jax.Array, n_real) -> jax.Array:
+    """any(x.reshape(-1)[:n_real]) of a globally-sharded bool array, as a
+    replicated scalar — so every process raises (or proceeds) uniformly
+    instead of one host aborting out of a collective program."""
+    flat = x.reshape(-1)
+    i = jnp.arange(flat.shape[0], dtype=jnp.int32)
+    return jnp.any(jnp.where(i < n_real, flat, False))
+
+
 def _local_blocks(arr: jax.Array) -> Tuple[np.ndarray, int]:
     """Gather this process's addressable shards of a block-sharded global
     array into one contiguous numpy array; returns (array, global start).
@@ -192,17 +213,22 @@ def encode_distributed(pcm: np.ndarray, cfg: Optional[CodecConfig] = None,
     out, hist = shard.sharded_encode_fn(cfg, mesh, PACK_WORDS)(
         x, extras, consts)
 
+    # overflow re-run decision from the GLOBAL nbits max: every process
+    # sees the same replicated scalar, so either all hosts re-execute the
+    # (collective-bearing) program or none do — a process-local check
+    # diverges on data-dependent reservoir spikes (round-4 advisor, high).
+    # Runs even when this process holds only pad blocks (real == 0).
+    if int(_global_masked_max(out["nbits"], jnp.int32(2 * b))) \
+            > 32 * PACK_WORDS:
+        out, hist = shard.sharded_encode_fn(cfg, mesh, PACK_WORDS_MAX)(
+            x, extras, consts)
+
     real = int(np.clip(b - my_lo, 0, my_hi - my_lo))
     payload = b""
     savings_total = 0
     if real > 0:
         nbits, _ = _local_blocks(out["nbits"])
         nbits = nbits[:2 * real]
-        if int(nbits.max(initial=0)) > 32 * PACK_WORDS:
-            out, hist = shard.sharded_encode_fn(cfg, mesh, PACK_WORDS_MAX)(
-                x, extras, consts)
-            nbits, _ = _local_blocks(out["nbits"])
-            nbits = nbits[:2 * real]
         words, _ = _local_blocks(out["words"])
         payload = native.assemble_rows(words[:2 * real], nbits)
         savings, _ = _local_blocks(out["savings"])
@@ -301,11 +327,16 @@ def decode_distributed(data: bytes,
 
     out, bad = shard.sharded_decode_payload_fn(cfg, mesh, True)(
         words, nbits, lut_rep, consts)
-    bad_local, _ = _local_blocks(bad)
-    if bad_local[:max(0, min(b, my_hi) - my_lo)].any():
-        idx = int(np.argwhere(bad_local)[0][0])
-        raise ValueError(
-            f"corrupt payload at channel-block {(my_lo + idx) * c}")
+    # corruption check on the GLOBAL bad flags (replicated scalar) so
+    # every process raises or proceeds uniformly — a local-only raise
+    # hangs the other hosts at their next collective (round-4 advisor)
+    if bool(_global_masked_any(bad, jnp.int32(b * c))):
+        bad_local, _ = _local_blocks(bad)
+        n_real_local = max(0, min(b, my_hi) - my_lo)
+        where = np.argwhere(bad_local[:n_real_local])
+        at = (f" at channel-block {(my_lo + int(where[0][0])) * c}"
+              if where.size else " (flagged on another process)")
+        raise ValueError("corrupt payload" + at)
     local, lo = _local_blocks(out)
     assert lo == my_lo
 
