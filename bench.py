@@ -27,6 +27,45 @@ import sys
 import time
 
 
+# healthy-link thresholds (round-4 measured weather on this tunnel:
+# 25 -> 63 ms RTT and 40 -> 12 MB/s download within half an hour; the good
+# end of those swings defines "healthy").  On a local backend (CPU
+# fallback, real TPU host) transfers are orders of magnitude inside these.
+HEALTHY_RTT_MS = 35.0
+HEALTHY_DOWN_MBPS = 24.0
+HEALTHY_UP_MBPS = 8.0
+
+
+def _probe_link(n_mb: int = 4) -> dict:
+    """Measure the host<->device link right now: RTT (tiny round trip) and
+    up/down bandwidth (n_mb transfer each way).  Completion is observed by
+    DOWNLOADING data — on this backend block_until_ready acks the enqueue
+    without execution, so only a fetch is a real barrier."""
+    import time
+
+    import jax
+    import numpy as np
+
+    dev = jax.devices()[0]
+    t0 = time.perf_counter()
+    np.asarray(jax.device_put(np.zeros(1, np.float32), dev))
+    rtt_ms = (time.perf_counter() - t0) * 1e3
+
+    buf = np.random.default_rng(0).integers(
+        0, 255, n_mb << 20, dtype=np.uint8)
+    t0 = time.perf_counter()
+    xb = jax.device_put(buf, dev)
+    np.asarray(xb[:8])                       # forces the upload to finish
+    up = n_mb / max(time.perf_counter() - t0, 1e-9)
+    t0 = time.perf_counter()
+    np.asarray(xb)
+    down = n_mb / max(time.perf_counter() - t0, 1e-9)
+    healthy = (rtt_ms <= HEALTHY_RTT_MS and down >= HEALTHY_DOWN_MBPS
+               and up >= HEALTHY_UP_MBPS)
+    return {"rtt_ms": round(rtt_ms, 1), "up_mbps": round(up, 1),
+            "down_mbps": round(down, 1), "healthy": healthy}
+
+
 def _measure() -> None:
     import numpy as np
 
@@ -74,30 +113,22 @@ def _measure() -> None:
     # tunnel's throughput swings several-fold minute to minute (measured
     # 25 -> 63 ms RTT and 40 -> 12 MB/s within half an hour, with
     # multi-second transfer stalls under shared load), so a single
-    # averaged figure measures tunnel weather, not the engine.  Reps run
-    # under a time budget — more samples when the link is slow — and the
-    # best rep is the engine's demonstrated capability on this link; the
-    # mean is kept alongside for transparency.
-    def timed_reps(fn, budget_s, min_reps=3, max_reps=12):
-        dts = []
-        start = time.perf_counter()
-        while len(dts) < max_reps and (
-                len(dts) < min_reps
-                or time.perf_counter() - start < budget_s):
-            t0 = time.perf_counter()
-            fn()
-            dts.append(time.perf_counter() - t0)
-        return dts
-
+    # averaged figure measures tunnel weather, not the engine.
+    #
+    # Round-5 weather-proofing (the round-4 official capture regressed
+    # 36% on a 2x-faster engine — the protocol, not the code): a link
+    # calibration probe runs before every rep pair and is recorded
+    # in-band; serial and batch reps INTERLEAVE so both see the same
+    # weather windows; and the rep budget extends until at least
+    # TARGET_HEALTHY reps of each kind ran under healthy-link conditions
+    # (or the hard budget exhausts — in which case the probes prove the
+    # window was degraded).  The best rep remains the engine's
+    # demonstrated capability on this link.
     rep_blocks = sum((-(-p.shape[0] // half) + 1) for p in inputs)
 
     def serial_rep():
         for pcm in inputs:
             eng.decode(eng.encode(pcm))
-
-    serial_dts = timed_reps(serial_rep, budget_s=120)
-    blocks_per_s = rep_blocks / min(serial_dts)
-    mean_blocks_per_s = rep_blocks * len(serial_dts) / sum(serial_dts)
 
     # the production serving path: the pipelined roundtrip overlaps every
     # file's blocking downloads with the other files' device work AND
@@ -105,8 +136,42 @@ def _measure() -> None:
     # alongside, not as the headline, so the headline stays
     # workload-comparable across rounds)
     eng.roundtrip_many(inputs)  # warm
-    batch_dts = timed_reps(lambda: eng.roundtrip_many(inputs), budget_s=90)
+
+    TARGET_HEALTHY, MIN_REPS, MAX_REPS, BUDGET_S = 5, 4, 24, 450
+    _probe_link()   # warmup: first call pays the probe's own jit compiles
+    reps = {"serial": [], "batch": []}      # (dt, probe) pairs
+    start = time.perf_counter()
+    while True:
+        for kind, fn in (("serial", serial_rep),
+                         ("batch", lambda: eng.roundtrip_many(inputs))):
+            probe = _probe_link()
+            t0 = time.perf_counter()
+            fn()
+            reps[kind].append((time.perf_counter() - t0, probe))
+        n = len(reps["serial"])
+        healthy = {k: sum(1 for _, p in v if p["healthy"])
+                   for k, v in reps.items()}
+        if n >= MAX_REPS:
+            break
+        if (n >= MIN_REPS and min(healthy.values()) >= TARGET_HEALTHY):
+            break
+        if time.perf_counter() - start > BUDGET_S:
+            break
+
+    serial_dts = [dt for dt, _ in reps["serial"]]
+    batch_dts = [dt for dt, _ in reps["batch"]]
+    blocks_per_s = rep_blocks / min(serial_dts)
+    mean_blocks_per_s = rep_blocks * len(serial_dts) / sum(serial_dts)
     batch_blocks_per_s = rep_blocks / min(batch_dts)
+    link = {
+        "criteria": {"rtt_ms_max": HEALTHY_RTT_MS,
+                     "down_mbps_min": HEALTHY_DOWN_MBPS,
+                     "up_mbps_min": HEALTHY_UP_MBPS},
+        "healthy_serial_reps": healthy["serial"],
+        "healthy_batch_reps": healthy["batch"],
+        "serial": [{"s": round(dt, 3), **p} for dt, p in reps["serial"]],
+        "batch": [{"s": round(dt, 3), **p} for dt, p in reps["batch"]],
+    }
 
     # reference-semantics baseline on a short slice (~40 blocks)
     slice_pcm = inputs[0][: 40 * half]
@@ -131,6 +196,7 @@ def _measure() -> None:
         # "mean_value" is the all-reps mean for apples-to-apples checks
         "value_is": "best_of_reps",
         "reps": len(serial_dts),
+        "link": link,
         "device_compute": device_compute,
     }))
 
