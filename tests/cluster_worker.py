@@ -26,6 +26,7 @@ def make_test_pcm(n_blocks: int = 12, half: int = 1024):
 def main() -> None:
     pid, nproc, port, outdir = (int(sys.argv[1]), int(sys.argv[2]),
                                 sys.argv[3], sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "cbr"
     # CPU backend with 2 virtual devices per process (the axon TPU plugin
     # registers itself via sitecustomize; force the config back, as
     # tests/conftest.py does)
@@ -49,6 +50,24 @@ def main() -> None:
 
     import numpy as np
     pcm = make_test_pcm()
+
+    if mode == "fault-reservoir":
+        # fault-injection drill for shard-level elastic recovery: both
+        # processes encode with the per-range reservoir policy, then
+        # process 1 "dies" before delivering its part — its true payload
+        # goes to a quarantine file the RECOVERY path never reads; the
+        # parent redoes the range from the input PCM (cluster.encode_range)
+        # and must reproduce those bytes exactly (tests/test_cluster.py).
+        res = cluster.encode_distributed(pcm, rate_mode="reservoir")
+        name = (f"part_{pid}.lost.npz" if pid == 1 else f"part_{pid}.npz")
+        np.savez(os.path.join(outdir, name),
+                 payload=np.frombuffer(res.payload, np.uint8),
+                 header=np.frombuffer(res.header, np.uint8),
+                 block_start=res.block_start, n_blocks=res.n_blocks,
+                 n_blocks_total=res.n_blocks_total)
+        cluster.shutdown()
+        return
+
     res = cluster.encode_distributed(pcm, rate_mode="cbr")
 
     # round-4: the raw-payload sharded decode crosses the process

@@ -27,6 +27,63 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
+def test_shard_range_recovery_reproduces_lost_host(tmp_path):
+    """Fault injection for shard-level elastic recovery (SURVEY.md §5):
+    a 2-process reservoir-mode distributed encode where process 1 dies
+    before delivering its part.  The redo (cluster.encode_range, driven
+    only by the input PCM and the partition arithmetic) must reproduce
+    the lost host's payload byte-for-byte, and the recovered stream must
+    equal the no-fault stream exactly — the per-block nBytes framing
+    makes the splice exact (reference codec/pacfile.py:153-229)."""
+    nproc = 2
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tests", "cluster_worker.py"),
+         str(pid), str(nproc), str(port), str(tmp_path),
+         "fault-reservoir"],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for pid in range(nproc)]
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err[-4000:]
+
+    with np.load(tmp_path / "part_0.npz") as z:
+        header = z["header"].tobytes()
+        survivor = (int(z["block_start"]), z["payload"].tobytes())
+    with np.load(tmp_path / "part_1.lost.npz") as z:
+        lost_start = int(z["block_start"])
+        lost_payload = z["payload"].tobytes()
+
+    from pactpu.parallel import cluster
+    pcm = make_test_pcm()
+    n_dev = 2 * nproc
+    ranges = cluster.process_block_ranges(pcm.shape[0], n_dev, nproc)
+    assert ranges[0][0] == survivor[0] and ranges[1][0] == lost_start
+
+    # the redo reproduces the dead host's bytes exactly
+    redo = cluster.encode_range(pcm, *ranges[1], rate_mode="reservoir")
+    assert redo == lost_payload
+
+    # and the recovered stream equals the no-fault stream
+    recovered = cluster.recover_stream(header, [survivor], pcm, n_dev,
+                                       nproc, rate_mode="reservoir")
+    no_fault = cluster.assemble_stream(
+        header, [survivor, (lost_start, lost_payload)])
+    assert recovered == no_fault
+
+
+@pytest.mark.slow
 def test_two_process_fake_cluster_matches_single_process(tmp_path):
     nproc = 2
     port = _free_port()
