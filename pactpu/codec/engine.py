@@ -1491,17 +1491,17 @@ class Engine:
         carry'[, bad]).
 
         Parse placement (PACTPU_DECODE_PARSE = auto | device | host):
-        "device" runs the batched Huffman bit-walk on the accelerator
-        (pactpu.ops.huffman_decode) — the raw compressed payload is the
-        upload and the host only frames byte rows; "host" parses in
+        "device" runs the Huffman bit-walk on the accelerator — on TPU
+        as the Pallas lockstep kernel with a VMEM length+symbol LUT
+        (pactpu.ops.huffman_walk, 11.1 ms/chunk measured r5), elsewhere
+        as the batched XLA gather walk (pactpu.ops.huffman_decode,
+        HBM-latency-chained, 75.0 ms) — the raw compressed payload is
+        the upload and the host only frames byte rows; "host" parses in
         native C++ (csrc/wakbits.cc) and uploads packed words.  auto =
-        host whenever the native library is available: the device walk is
-        HBM-latency-chained (~2,100 dependent gather steps/chunk,
-        75.6 ms measured vs 2.1 ms for the host-parse+extract chain,
-        PERF.md r4), so on-chip it only wins when host CPU is the scarce
-        resource; without the native library (PACTPU_NO_NATIVE) auto
-        falls back to the device walk — still ~40x faster than the
-        pure-Python parse."""
+        host whenever the native library is available (the
+        host-parse+extract chain is still ~2.1 ms and frees the chip);
+        without the native library (PACTPU_NO_NATIVE) auto falls back to
+        the device walk."""
         cfg, num_samples, off = rc.read_header(data)
         if cfg.window != self.cfg.window:
             # the stream format carries no window field; synthesis follows
@@ -1563,6 +1563,33 @@ class Engine:
         words = np.pad(words, ((0, (b_pad - b) * c),
                                (0, w_bucket - words.shape[1])))
         nbits = np.pad(nbits, (0, (b_pad - b) * c))
+
+        # Pallas walk parser (pactpu.ops.huffman_walk): the serial
+        # bit-walk runs as an on-chip kernel with a VMEM length LUT
+        # (~10x the XLA gather chain, PERF.md r5); XLA walk remains the
+        # fallback for oversized rows / unfit tables / non-.wak layouts.
+        if huff:
+            from pactpu.ops import huffman_walk as hw
+            from pactpu.ops import pallas_ops
+            if hw.enabled() and w_bucket <= hw.MAX_WORDS:
+                lut_walk = hw.device_walk_lut(self.tables)
+                if lut_walk is not None:
+                    n_tab = int(lut_walk["l1b"].shape[0])
+                    interp = not pallas_ops.enabled()
+                    run = hw.chunk_walk_decode_fn(cfg, self.precision,
+                                                  interp)
+                    chunk_args = []
+                    with self._stage("decode/stage-walk"):
+                        for k, sz in enumerate(sizes):
+                            i, j = offs[k] * c, (offs[k] + sz) * c
+                            wk, nk = words[i:j], nbits[i:j]
+                            staged = hw.pad_blocks(
+                                hw.stage_rows(cfg, wk, nk, n_tab))
+                            chunk_args.append(
+                                (*staged, wk, nk, lut_walk))
+                    return (cfg, num_samples, b, c, sizes, offs,
+                            [run] * len(sizes), chunk_args)
+
         run = _chunk_decode_payload_fn(cfg, huff, self.precision)
         chunk_args = []
         for k, sz in enumerate(sizes):

@@ -77,34 +77,41 @@ def _measure(n_dev: int, blocks: int, reps: int) -> None:
         jax.tree.map(lambda _: NamedSharding(mesh, P()),
                      engine_consts_np(cfg)))
 
-    from pactpu.codec.engine import PACK_WORDS
-    fn = shard.sharded_encode_fn(cfg, mesh, PACK_WORDS)
+    from pactpu.codec.engine import PACK_DENSE_WORDS, PACK_WORDS
+    rows_per_dev = 2 * (blocks // n_dev)
+    dense_cap = rows_per_dev * PACK_DENSE_WORDS
+    fn = shard.sharded_encode_fn(cfg, mesh, PACK_WORDS, dense_cap)
     out, hist = fn(xs, extra, consts)          # warmup + compile
-    jax.block_until_ready((out["words"], hist))
+    jax.block_until_ready((out["dense"], hist))
 
     t0 = time.perf_counter()
     for _ in range(reps):
         out, hist = fn(xs, extra, consts)
-        jax.block_until_ready((out["words"], hist))
+        jax.block_until_ready((out["dense"], hist))
     dt = time.perf_counter() - t0
 
-    # measured per-mesh download volume (round-4: the sharded path ships
-    # device-packed words+nbits; vs the round-3 per-line arrays)
-    packed_bytes = out["words"].nbytes + out["nbits"].nbytes
-    rows = out["words"].shape[0]
+    # measured per-mesh download volume: the round-5 dense path fetches
+    # only each shard's OCCUPIED word prefix (counts from nbits) + the
+    # nbits array; vs the round-4 fixed-width padded rows and the
+    # round-3 per-line arrays
+    nbits_np = np.asarray(out["nbits"]).astype(np.int64)
+    counts = np.minimum((nbits_np + 31) // 32, PACK_WORDS)
+    dense_bytes = int(counts.sum()) * 4 + int(out["nbits"].nbytes)
+    rows = nbits_np.shape[0]
+    padded_bytes = rows * PACK_WORDS * 4 + int(out["nbits"].nbytes)
     half = cfg.n_mdct_lines
     # round-3 shape: sign i8 + codes i32 + lens i8 per line, ba/sf i8 per
     # band, overall/tid i8, savings/leftover i32
     perline_bytes = rows * (half * (1 + 4 + 1) + cfg.n_bands * 2 + 2 + 8)
-    actual_payload = int(
-        (np.asarray(out["nbits"]).astype(np.int64) + 7).sum() // 8)
+    actual_payload = int((nbits_np + 7).sum() // 8)
     print(json.dumps({
         "n_devices": n_dev,
         "blocks": blocks,
         "reps": reps,
         "seconds": round(dt, 4),
         "blocks_per_s": round(blocks * reps / dt, 2),
-        "download_packed_bytes": int(packed_bytes),
+        "download_dense_bytes": dense_bytes,
+        "download_packed_bytes": padded_bytes,
         "download_perline_bytes": int(perline_bytes),
         "payload_actual_bytes": actual_payload,
     }))
@@ -216,27 +223,29 @@ def main() -> int:
         lines.append(f"| {n} | {r['blocks']} | {r['blocks_per_s']} "
                      f"| {per_dev:.2f} | {100 * per_dev / wbase:.0f}% |")
     dl = strong[-1]
-    ratio = dl["download_perline_bytes"] / max(dl["download_packed_bytes"], 1)
+    ratio = dl["download_perline_bytes"] / max(dl["download_dense_bytes"], 1)
+    eff = dl["payload_actual_bytes"] / max(dl["download_dense_bytes"], 1)
     lines += [
         "",
         "Workload: full Huffman+M/S encode path, device time only (payload",
         "serialization is host-side and overlaps).",
         "",
-        "## Measured device->host download volume (round-4 packed shard I/O)",
+        "## Measured device->host download volume (round-5 dense shard I/O)",
         "",
-        "The sharded program packs payloads on device and each shard",
-        "downloads `words u32[rows, 256]` + `nbits i32[rows]`"
-        " (pactpu.parallel.shard.sharded_encode_fn(pack_words); the",
-        "round-3 path downloaded per-line sign/codes/lens arrays).  For",
-        f"the {dl['blocks']}-block strong-scaling workload:",
+        "The sharded program packs AND compacts payloads on device: each",
+        "shard holds a flat dense word buffer (compact_rows inside the",
+        "shard program) and every host fetches only the OCCUPIED prefix",
+        "of its shards + the nbits array",
+        "(pactpu.parallel.shard.sharded_encode_fn(pack_words, dense_cap);",
+        "round 4 downloaded fixed 256-word padded rows, round 3 per-line",
+        f"arrays).  For the {dl['blocks']}-block strong-scaling workload:",
         "",
-        f"- packed download: {dl['download_packed_bytes']:,} bytes "
-        f"(vs round-3 per-line: {dl['download_perline_bytes']:,} bytes — "
-        f"**{ratio:.1f}x less**)",
-        f"- actual compressed payload in those words: "
-        f"{dl['payload_actual_bytes']:,} bytes "
-        f"({100 * dl['payload_actual_bytes'] / dl['download_packed_bytes']:.0f}% "
-        "of the packed download; the 256-word row padding is the rest)",
+        f"- dense download: {dl['download_dense_bytes']:,} bytes "
+        f"(r4 padded rows: {dl['download_packed_bytes']:,}; r3 per-line: "
+        f"{dl['download_perline_bytes']:,} — **{ratio:.0f}x less**)",
+        f"- actual compressed payload: {dl['payload_actual_bytes']:,} "
+        f"bytes — the dense download is {1 / eff:.2f}x the payload "
+        "(word-rounding + the nbits sidecar; round-4 was 4.4x)",
         "",
         "Decode side: `cluster.decode_distributed` now uploads the RAW",
         "framed payload rows and bit-walks them on device",
