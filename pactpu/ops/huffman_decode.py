@@ -321,8 +321,16 @@ def parse_rows_body(cfg, huff: bool = True):
                 val = jnp.where(active, val, 0)
                 return ((off + jnp.where(active, adv, 0), bad), val)
 
-            (off, bad), vals = jax.lax.scan(
-                step, (off, bad), None, length=nl)
+            # skip the whole band when NO row allocates it bits — no
+            # cursor moves, `bad` only sets while active, and the lines
+            # decode to zeros, so the skip is exact.  At 2.27 bps the
+            # top bands (two thirds of all lines) are usually silent
+            # across a chunk, which halves the latency-bound walk.
+            (off, bad), vals = jax.lax.cond(
+                jnp.any(active),
+                lambda c: jax.lax.scan(step, c, None, length=nl),
+                lambda c: (c, jnp.zeros((nl, r), jnp.int32)),
+                (off, bad))
             vals = vals.T                            # [R, nl]
             if huff:
                 # m = huff + sign * 2^(ba-1) (reference pacfile.py:201-211)
