@@ -265,6 +265,38 @@ def measure_device_compute(pcm: Optional[np.ndarray] = None,
     stage_flops["decode"] = _program_flops(runs[0], *args, dcarry, consts)
     dt_dec = stage_ms["decode"] / 1000
 
+    # --- device-parse decode (diagnostic row, not the headline): the
+    # on-chip Huffman bit-walk — on TPU the Pallas VMEM-LUT kernel
+    # (pactpu.ops.huffman_walk), elsewhere the XLA gather walk ---
+    import os as _os
+    _old_parse = _os.environ.get("PACTPU_DECODE_PARSE")
+    try:
+        _os.environ["PACTPU_DECODE_PARSE"] = "device"
+        (_c2, _, _, _, dsizes, _, druns,
+         dchunk_args) = eng._decode_staging(stream)
+        if len(dsizes) == 1:
+            dargs = [a if (a is None or isinstance(a, dict))
+                     else jax.device_put(jnp.asarray(a))
+                     for a in dchunk_args[0]]
+
+            def devparse_stage(eps):
+                a2 = [a if (a is None or isinstance(a, dict)
+                            or a.dtype == jnp.bool_)
+                      else a + eps.astype(a.dtype) for a in dargs]
+                return druns[0](*a2, dcarry + eps.astype(dcarry.dtype),
+                                consts)
+
+            stage_ms["decode_device_parse"] = 1000 * _time_loop(
+                devparse_stage, _f0_tree, iters)
+            stage_flops["decode_device_parse"] = None
+    except ValueError:
+        pass                     # stream/table set outside the parser caps
+    finally:
+        if _old_parse is None:
+            _os.environ.pop("PACTPU_DECODE_PARSE", None)
+        else:
+            _os.environ["PACTPU_DECODE_PARSE"] = _old_parse
+
     enc_flops = sum(v for k, v in stage_flops.items()
                     if k != "decode" and v)
     dec_flops = stage_flops.get("decode") or 0.0
