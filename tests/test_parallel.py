@@ -139,6 +139,28 @@ def test_encode_distributed_packed_matches_engine(mesh):
         assert stream == Engine(cfg=cfg, rate_mode="cbr").encode(pcm), bps
 
 
+def test_encode_distributed_dense_overflow_fallback(mesh, monkeypatch):
+    """When a shard's payload exceeds its dense-compaction cap, every
+    process must take the padded-rows fallback (the decision is a global
+    reduction, round-4 advisor) — and the bytes must not change.  Forced
+    here by shrinking the per-row dense budget to a single word."""
+    import pactpu.codec.engine as E
+    from pactpu.parallel import cluster
+
+    cfg = CodecConfig()
+    pcm = _signal_i16(13, cfg.n_mdct_lines, seed=9).T.copy()
+    ref = E.Engine(rate_mode="cbr").encode(pcm)
+
+    monkeypatch.setattr(E, "PACK_DENSE_WORDS", 1)
+    assert bool(cluster._global_dense_overflow(
+        jnp.full((16,), 4000, jnp.int32), 4, 256, 2 * 1))
+    res = cluster.encode_distributed(pcm, cfg=cfg, mesh=mesh,
+                                     rate_mode="cbr")
+    stream = cluster.assemble_stream(
+        res.header, [(res.block_start, res.payload)])
+    assert stream == ref
+
+
 def test_decode_distributed_payload_corrupt_raises(mesh):
     """The sharded device bit-walk flags corruption instead of emitting
     garbage (same contract as the engine's device-parse path)."""
