@@ -39,15 +39,19 @@ Three structural insights make the kernel simple and fast:
    LUT lookups chunk by chunk.
 
 LUT structure (zlib-"enough" style, per table, K1 = 11 root bits):
-level 1 is a 2048-entry u8 array indexed by the top 11 bits of the peek
-(entry = length | escape<<5 for codes <= 11 bits, or 0x80 | rank for
-deep prefixes — at most 97 deep prefixes per shipped table, rank fits 7
-bits); a 128-entry u32 side table maps rank -> (subtable base << 4 | k2);
-level 2 is a u8 subtable pool indexed by base + next-k2-bits (variable
-k2 per prefix keeps the worst pool at 3,264 words).  Rows are grouped by
-table id (readable from each row's first byte without any walking) so a
-kernel program serves 128 rows of ONE table and the LUT slice is a
-scalar-indexed VMEM row.
+level 1 is a 2048-entry u32 array indexed by the top 11 bits of the peek
+(entry = symbol<<6 | escape<<5 | length for codes <= 11 bits, or
+bit31 | rank for deep prefixes — at most 97 deep prefixes per shipped
+table, rank fits 7 bits); a 128-entry u32 side table maps
+rank -> (subtable base << 4 | k2); level 2 is a u32 subtable pool
+indexed by base + next-k2-bits (variable k2 per prefix keeps the worst
+pool at 13,056 entries).  Rows are grouped by table id (readable from
+each row's first byte without any walking) so a kernel program serves
+128 rows of ONE table and the LUT slice is a scalar-indexed VMEM row.
+Contract bounds (fallback to the XLA walk otherwise): code length <= 31,
+escape length <= 16 and n_mant_size_bits <= 4 (so every per-step
+advance fits the 32-bit peek / single-refill window), symbols <= 0x7FFF,
+rows <= MAX_WORDS words.
 
 Exactness contract: outputs equal pactpu.ops.huffman_decode's
 parse_rows_body bit-for-bit for every input, including corrupt and
@@ -112,7 +116,12 @@ def build_walk_lut(tables=None):
         entries.append((int(esc_codes[t]), int(esc_len[t]), 0, True))
         if max(ln for _, ln, _, _ in entries) > 31 or \
                 min(ln for _, ln, _, _ in entries) < 1 or \
-                max(s for _, _, s, _ in entries) > 0x7FFF:
+                max(s for _, _, s, _ in entries) > 0x7FFF or \
+                int(esc_len[t]) > 16:
+            # esc_len <= 16 keeps the worst per-step advance
+            # (esc_len + 16-bit raw mantissa <= 32) within the peek and
+            # the single-refill window contract; longer escapes (possible
+            # only with exotic trained tables) fall back to the XLA walk
             ok = False
             break
         # deep prefixes (codes longer than K1 bits), with per-prefix k2
@@ -265,11 +274,15 @@ def _walk_kernel(nbits_ref, tids_ref, wordsT_ref, l1a_ref,
         return hi, lo, avail, off, wptr
 
     def consume(st, adv):
+        # adv in [0, 32]: the worst step is a 16-bit escape code plus a
+        # 16-bit raw mantissa (adv == 32 swaps lo into hi wholesale)
         hi, lo, avail, off, wptr = st
-        hi = jnp.where(
+        hi32 = jnp.where(
             adv > 0,
             lax.shift_left(hi, adv & 31) | _srl(lo, (32 - adv) & 31), hi)
-        lo = jnp.where(adv > 0, lax.shift_left(lo, adv & 31), lo)
+        hi = jnp.where(adv >= 32, lo, hi32)
+        lo = jnp.where(adv >= 32, 0,
+                       jnp.where(adv > 0, lax.shift_left(lo, adv & 31), lo))
         return hi, lo, avail - adv, off + adv, wptr
 
     def reseed(off):
@@ -420,7 +433,10 @@ def stage_rows(cfg, words: np.ndarray, nbits: np.ndarray, n_tab: int):
     wordsT u32[NB,8,(W/8)*128], inv i32[R]) as numpy, or None when the
     rows exceed the kernel's word cap."""
     r, w = words.shape
-    if w > MAX_WORDS:
+    if w > MAX_WORDS or cfg.n_mant_size_bits > 4:
+        # n_mant_size_bits > 4 would allow bit allocations past 16 bits,
+        # breaking the kernel's 32-bit peek/advance contract (the raw
+        # escape mantissa must fit esc_len + ba <= 31) — XLA walk instead
         return None
     first = (words[:, 0] >> np.uint32(32 - cfg.n_scale_bits
                                       - cfg.n_table_id_bits)) \
